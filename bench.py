@@ -1,0 +1,121 @@
+"""Benchmark harness (driver contract: print ONE JSON line).
+
+Two workloads:
+1. headline analytic queries at $SPARK_GRAFT_SF_DIR (default sf0.1),
+   fully materialized through the noop sink (count() would let Spark
+   skip column materialization);
+2. the crawl engine on a synthetic frontier (the BASELINE.json metric:
+   frontier URLs processed/sec through fetch+decode+write).
+
+Modes:
+    python bench.py                 # full: queries + crawl → one JSON line
+    python bench.py --crawl-only    # crawl throughput JSON only (used by
+                                    # bench_scaling.py at two core counts)
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_ROUNDS, SPARK_GRAFT_BENCH_PAGES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "f4_sanity_range_filter",
+    "j1_seen_anti_join",
+    "w1_priority_rank",
+    "a11_threshold_bands",
+    "t1_text_stats",
+    "d2_minhash_signatures",
+    "d4_simhash",
+    "s2_ann_lsh_bucketed",
+]
+
+
+def bench_queries(spark) -> dict[str, float]:
+    from housing_crawler_spark.all_queries import REGISTRY
+
+    out = {}
+    for name in HEADLINE:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def bench_crawl(spark) -> dict:
+    """Crawl a synthetic world; report frontier URLs processed/sec
+    (fetch + parse + image decode/encode + snapshot write)."""
+    from housing_crawler_spark import synth
+    from housing_crawler_spark.crawl import CrawlEngine, EngineConfig
+
+    world = synth.WorldConfig(
+        n_hosts=40,
+        base_pages=int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "300")),
+        round_seconds=3600,
+    )
+    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    with tempfile.TemporaryDirectory(prefix="hcs_bench_") as tmp:
+        from housing_crawler_spark.storage.snapshots import SnapshotStore
+
+        eng = CrawlEngine(
+            spark, SnapshotStore(tmp), world, EngineConfig(salt_threshold=50_000)
+        )
+        seed = synth.seed_frontier_rows(world)
+        t0 = time.perf_counter()
+        eng.init_state(seed, synth.robots_rows(world))
+        eng.run(n_rounds)
+        elapsed = time.perf_counter() - t0
+        n_fetched = eng.fetch_log(n_rounds).count()
+        n_images = eng.images(n_rounds).count()
+    return {
+        "crawl_urls": n_fetched,
+        "crawl_images": n_images,
+        "crawl_sec": round(elapsed, 3),
+        "frontier_urls_per_sec": round(n_fetched / elapsed, 2),
+        "cpus": CPUS,
+    }
+
+
+def main() -> None:
+    from housing_crawler_spark.session import spark_session
+
+    crawl_only = "--crawl-only" in sys.argv
+    spark = spark_session("hcs-bench", cores=CPUS, shuffle_partitions=CPUS)
+    try:
+        if crawl_only:
+            print(json.dumps(bench_crawl(spark)))
+            return
+        queries = bench_queries(spark)
+        crawl = bench_crawl(spark)
+        total = round(sum(queries.values()) + crawl["crawl_sec"], 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline queries + synthetic crawl wall time",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": SF_DIR,
+                    **crawl,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

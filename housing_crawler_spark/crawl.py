@@ -1,0 +1,474 @@
+"""The crawl engine: deterministic round loop over append-only delta tables.
+
+Each round is one Spark job pipeline (SURVEY §2.9: the reference's
+while-loop over cities/pages, crawl_wggesucht.py:497-549, becomes a
+driver-side round loop — rounds are the unit of determinism and
+checkpointing).
+
+State model (designed for a 10^10-URL frontier — nothing is rewritten
+per round):
+
+- ``known``   — append-only: every canonical URL ever admitted to the
+  frontier (seed round 0, then per-round discovered links after robots +
+  membership gates). Because every fetched URL was first admitted,
+  ``seen ⊆ known``, so the J1 discovered-link gate is a single anti-join
+  against *known* (bloom-prefiltered at scale).
+- ``seen``    — append-only: URLs fetched (listing/detail/gone) per
+  round. This is the reference's URL-seen membership
+  (crawl_wggesucht.py:297-299).
+- ``captcha`` — append-only: per-round attempt/backoff overrides for
+  URLs whose fetch hit a CAPTCHA (utils.py:109-123 semantics).
+- the FRONTIER itself is derived, never stored per round:
+
+      frontier(r) = known(≤r) ANTI seen(≤r), captcha-overridden
+
+  and every ``compact_every`` rounds it is materialized as a
+  range-partitioned base snapshot (``repartitionByRange(url_hash)`` —
+  the north_rule's frontier compaction) so reconstruction reads a
+  bounded number of delta files.
+- ``fetch_log`` / ``images`` — append-only deltas (per-partition
+  lineage + metrics; the input_hint image table).
+
+A round:
+
+    frontier @ r-1 ──eligible──> select_round (politeness budgets,
+        salted exact top-B per host, priority = depth/page/card/url)
+      ──mapInPandas fetch (Arrow batches; synth mock web)──>
+        ├─ fetch_log delta
+        ├─ seen delta (non-captcha)
+        ├─ captcha delta (attempts+1, eligible after backoff)
+        ├─ listing out_links ─canonicalize→ robots gate →
+        │    anti-join vs known (bloom pre-filter at scale) →
+        │    first-seen-wins dedup → known delta (eligible round r+1)
+        └─ detail rows ─clean caption (native exprs)─mapInPandas
+             image stage─> images delta (input_hint shape)
+
+All deltas committed atomically (SnapshotStore) — kill the process
+anywhere and re-running resumes bit-identically (test_crawl_resume).
+Equivalence with the single-process reference simulator (simulator.py)
+on fetch order, seen membership, images, and the politeness ledger is
+asserted by test_crawl_parity.py.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import schemas, synth
+from .functions.strings import clean_caption
+from .functions.urls import canonicalize_url, path_of, url_hash
+from .operators import bloom
+from .operators.frontier import first_seen_wins, robots_gate, select_round, with_budgets
+from .storage.snapshots import SnapshotStore
+
+
+@dataclass
+class EngineConfig:
+    salt_threshold: int = 100_000
+    bloom_shards: int = 8
+    bloom_min_known: int = 200_000  # below this an exact anti-join is cheaper
+    compact_every: int = 8  # rounds between frontier base materializations
+    fetch_partitions: int | None = None  # default: spark.sql.shuffle.partitions
+    snapshot_partitions: int = 8  # files per compacted base (local default)
+
+
+# known/frontier rows share this shape (attempts/next_round only
+# meaningful post-captcha-override)
+KNOWN_COLS = [f.name for f in schemas.FRONTIER.fields]
+
+CAPTCHA_SCHEMA = (
+    "canonical_url string, attempts int, next_round int, at_round int"
+)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched stages (the only Python in the data path — the fetch/decode
+# boundary, exactly where real HTTP/codec work would live)
+# ---------------------------------------------------------------------------
+
+
+def make_fetch_stage(cfg: synth.WorldConfig):
+    def fetch_batches(it):
+        for pdf in it:
+            out = {
+                "kind": [],
+                "out_links": [],
+                "caption_raw": [],
+                "n_images": [],
+                "payload_seed": [],
+            }
+            for url, attempts in zip(pdf["canonical_url"], pdf["attempts"]):
+                fr = synth.fetch(cfg, url, int(attempts))
+                out["kind"].append(fr.kind)
+                out["out_links"].append(list(fr.out_links) if fr.out_links else None)
+                out["caption_raw"].append(fr.caption_raw or None)
+                out["n_images"].append(fr.n_images)
+                out["payload_seed"].append(fr.payload_seed)
+            yield pd.DataFrame(
+                {
+                    "canonical_url": pdf["canonical_url"],
+                    "host": pdf["host"],
+                    "host_idx": pdf["host_idx"],
+                    "rank": pdf["rank"],
+                    "depth": pdf["depth"],
+                    "listing_page_no": pdf["listing_page_no"],
+                    "card_idx": pdf["card_idx"],
+                    "attempts": pdf["attempts"],
+                    **out,
+                }
+            )
+
+    return fetch_batches
+
+
+def make_image_stage(cfg: synth.WorldConfig):
+    """detail rows (canonical_url, caption, n_images, payload_seed) →
+    input_hint image rows. Decode/encode is numpy inside Arrow batches."""
+    from .functions.hashing import xxhash64
+    from .operators.images import encode, phash64
+
+    def image_batches(it):
+        for pdf in it:
+            rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+            for url, caption, n_img, pseed in zip(
+                pdf["canonical_url"], pdf["caption"], pdf["n_images"], pdf["payload_seed"]
+            ):
+                uh = xxhash64(url) & ((1 << 64) - 1)
+                for idx in range(int(n_img)):
+                    img = synth.gen_image(int(pseed), idx)
+                    fmt = synth.image_fmt(cfg, url, idx)
+                    rows["image_id"].append(f"{uh:016x}-{idx}")
+                    rows["bytes"].append(encode(img, fmt))
+                    rows["w"].append(img.shape[1])
+                    rows["h"].append(img.shape[0])
+                    rows["fmt"].append(fmt)
+                    rows["caption"].append(caption)
+                    rows["phash"].append(phash64(img))
+            yield pd.DataFrame(rows)
+
+    return image_batches
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        world: synth.WorldConfig,
+        cfg: EngineConfig | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.world = world
+        self.cfg = cfg or EngineConfig()
+        from .session import _ship_package
+
+        _ship_package(spark)  # worker-side imports under any session
+
+    # -- initialization ------------------------------------------------
+
+    def init_state(self, seed_rows: list[dict], robots_rows: list[dict]) -> None:
+        """Round 0: canonicalize + gate + dedup the seed list → known
+        delta 0 (which doubles as the first frontier base)."""
+        spark = self.spark
+        raw = spark.createDataFrame(
+            pd.DataFrame(seed_rows)[
+                ["url", "host", "depth", "listing_page_no", "card_idx"]
+            ]
+        )
+        robots = spark.createDataFrame(pd.DataFrame(robots_rows), schemas.ROBOTS)
+        canon = raw.withColumn("canonical_url", canonicalize_url(F.col("url"))).withColumn(
+            "path", path_of(F.col("canonical_url"))
+        )
+        gated = robots_gate(canon, robots).drop("path", "url")
+        types = {f.name: f.dataType.simpleString() for f in schemas.FRONTIER.fields}
+        known0 = (
+            first_seen_wins(gated)
+            .withColumn(
+                "host_idx",
+                F.regexp_extract("host", r"host-(\d+)", 1).cast("int"),
+            )
+            .withColumn("attempts", F.lit(0))
+            .withColumn("next_round", F.lit(1))
+            .select(*[F.col(c).cast(types[c]).alias(c) for c in KNOWN_COLS])
+            .coalesce(self.cfg.snapshot_partitions)
+        )
+        infos = [
+            self.store.write_delta(known0, "known", 0),
+            self.store.write_snapshot(known0, "frontier_base", 0),
+            self.store.write_snapshot(robots, "robots", 0),
+        ]
+        self.store.commit_round(0, infos, {"streaks": {}, "halted": [], "n_known": None})
+
+    # -- derived state ---------------------------------------------------
+
+    def frontier(self, r: int) -> DataFrame:
+        """Reconstruct the frontier as of after round ``r`` (append-only
+        algebra: base ∪ known-deltas ANTI seen-deltas, captcha overrides
+        applied last-writer-wins)."""
+        spark, store = self.spark, self.store
+        b = store.latest_snapshot_round("frontier_base", r)
+        base = store.read_snapshot(spark, "frontier_base", b)
+        adds = store.read_deltas(spark, "known", r, from_round=b + 1)
+        cand = base if adds is None else base.unionByName(adds)
+        seen = store.read_deltas(spark, "seen", r, from_round=b + 1)
+        if seen is not None:
+            cand = cand.join(seen.select("canonical_url"), "canonical_url", "left_anti")
+        capt = store.read_deltas(spark, "captcha", r, from_round=b + 1)
+        if capt is not None:
+            w = Window.partitionBy("canonical_url").orderBy(F.desc("at_round"))
+            latest = (
+                capt.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(
+                    "canonical_url",
+                    F.col("attempts").alias("c_attempts"),
+                    F.col("next_round").alias("c_next_round"),
+                )
+            )
+            cand = (
+                cand.join(latest, "canonical_url", "left")
+                .withColumn("attempts", F.coalesce("c_attempts", "attempts"))
+                .withColumn("next_round", F.coalesce("c_next_round", "next_round"))
+                .drop("c_attempts", "c_next_round")
+            )
+        return cand
+
+    def known(self, r: int) -> DataFrame:
+        return self.store.read_deltas(self.spark, "known", r)
+
+    def seen(self, r: int) -> DataFrame:
+        df = self.store.read_deltas(self.spark, "seen", r)
+        return df if df is not None else self.spark.createDataFrame([], schemas.SEEN)
+
+    def fetch_log(self, up_to_round: int) -> DataFrame:
+        df = self.store.read_deltas(self.spark, "fetch_log", up_to_round)
+        return df if df is not None else self.spark.createDataFrame([], schemas.FETCH_LOG)
+
+    def images(self, up_to_round: int) -> DataFrame:
+        df = self.store.read_deltas(self.spark, "images", up_to_round)
+        return df if df is not None else self.spark.createDataFrame([], schemas.IMAGES)
+
+    # -- one round -------------------------------------------------------
+
+    def run_round(self, r: int) -> dict:
+        t0 = time.perf_counter()
+        timings: dict[str, float] = {}
+
+        def mark(phase: str) -> None:
+            nonlocal t0
+            now = time.perf_counter()
+            timings[phase] = round(now - t0, 3)
+            t0 = now
+
+        spark, store, world, cfg = self.spark, self.store, self.world, self.cfg
+        last_metrics = store.commits()[-1]["metrics"]
+        streaks: dict[str, int] = dict(last_metrics.get("streaks", {}))
+        halted: set[str] = set(last_metrics.get("halted", []))
+        n_known_prev = last_metrics.get("n_known")
+
+        robots = store.read_snapshot(spark, "robots", 0)
+        budgets = with_budgets(robots, world.round_seconds)
+
+        frontier = self.frontier(r - 1)
+        eligible = frontier.filter(F.col("next_round") <= r)
+        if halted:
+            eligible = eligible.filter(~F.col("host").isin(sorted(halted)))
+
+        sel = select_round(eligible, budgets, cfg.salt_threshold)
+        n_parts = cfg.fetch_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        fetched = (
+            sel.repartition(n_parts, "canonical_url")
+            .mapInPandas(make_fetch_stage(world), schemas.FETCHED)
+            .cache()
+        )
+        mark("plan_build")
+
+        # ONE driver-side accounting pass over the (cached) fetch results
+        kind_host = fetched.groupBy("host", "kind").count().collect()
+        mark("fetch_exec")
+        n_selected = sum(row["count"] for row in kind_host)
+        n_listing_by_host: dict[str, int] = {}
+        for row in kind_host:
+            if row["kind"] == "listing":
+                n_listing_by_host[row["host"]] = (
+                    n_listing_by_host.get(row["host"], 0) + row["count"]
+                )
+        any_listings = bool(n_listing_by_host)
+
+        done = fetched.filter(F.col("kind") != "captcha")
+        new_seen = done.select(
+            "canonical_url",
+            url_hash(F.col("canonical_url")).alias("url_hash"),
+            F.lit(r).alias("first_seen_round"),
+        )
+        captcha = fetched.filter(F.col("kind") == "captcha").select(
+            "canonical_url",
+            (F.col("attempts") + 1).alias("attempts"),
+            F.lit(r + 1 + world.captcha_backoff_rounds).alias("next_round"),
+            F.lit(r).alias("at_round"),
+        )
+
+        # discovered links: canonicalize → robots → anti-join vs known
+        # (seen ⊆ known, so one gate suffices) → first-seen-wins
+        new_per_host: dict[str, int] = {}
+        if any_listings:
+            links = (
+                fetched.filter(F.col("kind") == "listing")
+                .select(
+                    "host",
+                    "host_idx",
+                    "depth",
+                    "listing_page_no",
+                    F.posexplode("out_links").alias("card_idx", "dirty_url"),
+                )
+                .withColumn("canonical_url", canonicalize_url(F.col("dirty_url")))
+                .withColumn("path", path_of(F.col("canonical_url")))
+            )
+            links = robots_gate(links, robots).drop("path", "dirty_url")
+            links = links.withColumn("url_hash", url_hash(F.col("canonical_url")))
+            known_hashes = self.known(r - 1).select(
+                url_hash(F.col("canonical_url")).alias("url_hash")
+            )
+            use_bloom = (
+                n_known_prev is not None and n_known_prev >= cfg.bloom_min_known
+            )
+            shards = (
+                bloom.build_shards(known_hashes, cfg.bloom_shards)
+                if use_bloom
+                else None
+            )
+            links = bloom.anti_join_seen(spark, links, known_hashes, shards).drop(
+                "url_hash"
+            )
+            new_entries = (
+                first_seen_wins(links)
+                .select(
+                    "canonical_url",
+                    "host",
+                    "host_idx",
+                    (F.col("depth") + 1).cast("int").alias("depth"),
+                    "listing_page_no",
+                    "card_idx",
+                    F.lit(0).alias("attempts"),
+                    F.lit(r + 1).alias("next_round"),
+                )
+                .cache()
+            )
+            new_per_host = {
+                row["host"]: row["n"]
+                for row in new_entries.groupBy("host")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        else:
+            new_entries = spark.createDataFrame([], schemas.FRONTIER)
+        mark("links_gate")
+
+        details = done.filter(F.col("kind") == "detail").withColumn(
+            "caption", clean_caption(F.col("caption_raw"))
+        )
+        images = details.select(
+            "canonical_url", "caption", "n_images", "payload_seed"
+        ).mapInPandas(make_image_stage(world), schemas.IMAGES)
+
+        log = fetched.select(
+            F.lit(r).alias("round"),
+            "host",
+            "host_idx",
+            "rank",
+            "canonical_url",
+            "kind",
+            "attempts",
+            F.spark_partition_id().alias("partition_id"),
+        )
+
+        # -- streak / halt accounting (reference 3-empty-pages rule) -------
+        for host, n_listing in n_listing_by_host.items():
+            if n_listing > 0:
+                streaks[host] = 0 if new_per_host.get(host, 0) > 0 else streaks.get(host, 0) + 1
+                if streaks[host] >= world.empty_streak_halt:
+                    halted.add(host)
+
+        # -- append-only commits -------------------------------------------
+        infos = [
+            store.write_delta(new_entries, "known", r),
+            store.write_delta(new_seen, "seen", r),
+            store.write_delta(captcha, "captcha", r),
+            store.write_delta(log, "fetch_log", r),
+            store.write_delta(images, "images", r),
+        ]
+        mark("delta_writes")
+
+        n_new = sum(new_per_host.values())
+        n_known = (n_new if n_known_prev is None else n_known_prev + n_new)
+        if n_known_prev is None:
+            # first round after init: count the seed once
+            n_known = self.known(0).count() + n_new
+
+        if r % cfg.compact_every == 0:
+            # round-r deltas aren't committed yet, so build frontier(r)
+            # from the in-memory round algebra instead of the store
+            fr_next = frontier.join(
+                new_seen.select("canonical_url"), "canonical_url", "left_anti"
+            )
+            capt_now = captcha.select(
+                "canonical_url",
+                F.col("attempts").alias("c_attempts"),
+                F.col("next_round").alias("c_next_round"),
+            )
+            fr_next = (
+                fr_next.join(capt_now, "canonical_url", "left")
+                .withColumn("attempts", F.coalesce("c_attempts", "attempts"))
+                .withColumn("next_round", F.coalesce("c_next_round", "next_round"))
+                .drop("c_attempts", "c_next_round")
+                .unionByName(new_entries)
+            )
+            base = (
+                fr_next.withColumn("__h", url_hash(F.col("canonical_url")))
+                .repartitionByRange(cfg.snapshot_partitions, "__h")
+                .drop("__h")
+            )
+            infos.append(store.write_snapshot(base, "frontier_base", r))
+            mark("compaction")
+
+        metrics = {
+            "streaks": streaks,
+            "halted": sorted(halted),
+            "n_selected": n_selected,
+            "n_new_known": n_new,
+            "n_known": n_known,
+            "per_host_fetched": {
+                h: sum(row["count"] for row in kind_host if row["host"] == h)
+                for h in {row["host"] for row in kind_host}
+            },
+            "timings": timings,
+        }
+        store.commit_round(r, infos, metrics)
+        fetched.unpersist()
+        if any_listings:
+            new_entries.unpersist()
+        return metrics
+
+    # -- loop --------------------------------------------------------------
+
+    def run(self, n_rounds: int) -> list[dict]:
+        """Run rounds (resuming after the last committed round, if any)."""
+        start = (self.store.last_round() or 0) + 1
+        out = []
+        for r in range(start, n_rounds + 1):
+            out.append(self.run_round(r))
+        return out

@@ -83,8 +83,13 @@ def canonicalize_url(url: Column) -> Column:
 
 
 def url_hash(canonical: Column) -> Column:
-    """64-bit stable key for the seen set / frontier partitioning."""
-    return F.xxhash64(canonical, F.lit(XXHASH_SEED))
+    """64-bit stable key for the seen set / frontier partitioning.
+
+    Note: ``F.xxhash64`` takes COLUMNS, not a seed — extra args are
+    hashed as additional fields. Spark fixes the seed at 42, and the
+    pure-Python twin (functions/hashing.py) matches that default.
+    """
+    return F.xxhash64(canonical)
 
 
 def host_of(canonical: Column) -> Column:

@@ -1,0 +1,264 @@
+"""The reference's 6-stage ETL pipeline semantics
+(ads_table_processing.py:785-807 process_ads_tables) re-expressed as
+native Spark plans and verified against DuckDB.
+
+The driver tables carry no housing ads, so each query first *derives* a
+deterministic ads-like table from ``orders``/``customer`` inside the
+query (same CASE mapping on both engines — keys → German labels drawn
+from the reference's actual label domains), then applies the
+transformation under test. This exercises exactly the per-row ``.apply``
+lambdas the reference uses (SURVEY §2.10: ~60 of them) as WHEN-chains /
+regexp / date arithmetic — zero Python in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import load, query
+
+# label domains lifted from the reference's classifier inputs
+# (ads_table_processing.py:200-220 heating, :437-446 internet,
+#  :584-607 smoking/kitchen/furniture, :488-531 multi-hot terms)
+_HEATING = [
+    "Zentralheizung",
+    "Gasheizung",
+    "Ofenheizung",
+    "Fernwärme",
+    "Nachtspeicherofen",
+    "Etagenheizung",
+    "kein Angabe",
+]
+_INTERNET = [
+    "DSL 16-25 Mbit/s",
+    "DSL 50-100 Mbit/s",
+    "DSL mehr als 100 Mbit/s",
+    "WLAN 26-50 Mbit/s",
+    "kein Internet",
+]
+_LANGS = ["Deutsch", "Englisch", "Spanisch", "Französisch"]
+
+
+def _ads_sql() -> str:
+    """orders → ads-like rows (same derivation both engines)."""
+    heat = " ".join(
+        f"WHEN {i} THEN '{lbl}'" for i, lbl in enumerate(_HEATING)
+    )
+    net = " ".join(f"WHEN {i} THEN '{lbl}'" for i, lbl in enumerate(_INTERNET))
+    return f"""
+      SELECT o_orderkey AS id,
+             CAST(floor(o_totalprice / 100) AS INT) AS price_euros,
+             CAST(floor(o_totalprice / 5000) AS INT) + 8 AS size_sqm,
+             CASE (o_orderkey % {len(_HEATING)}) {heat} END AS heating,
+             CASE (o_orderkey % {len(_INTERNET)}) {net} END AS internet,
+             CASE o_orderkey % 4
+               WHEN 0 THEN 'Deutsch'
+               WHEN 1 THEN 'Deutsch, Englisch'
+               WHEN 2 THEN 'Englisch, Spanisch, Französisch'
+               ELSE '' END AS languages,
+             o_orderdate AS published_on,
+             CAST(o_orderkey % 24 AS INT) AS published_at,
+             (o_orderkey % 7) != 0 AS details_searched
+      FROM orders
+    """
+
+
+def _ads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    heat = F.when(F.lit(False), "")
+    for i, lbl in enumerate(_HEATING):
+        heat = heat.when(k % len(_HEATING) == i, lbl)
+    net = F.when(F.lit(False), "")
+    for i, lbl in enumerate(_INTERNET):
+        net = net.when(k % len(_INTERNET) == i, lbl)
+    langs = (
+        F.when(k % 4 == 0, "Deutsch")
+        .when(k % 4 == 1, "Deutsch, Englisch")
+        .when(k % 4 == 2, "Englisch, Spanisch, Französisch")
+        .otherwise("")
+    )
+    return o.select(
+        k.alias("id"),
+        # NB: explicit floor — DuckDB CAST(double AS INT) rounds, Spark truncates
+        F.floor(F.col("o_totalprice") / 100).cast("int").alias("price_euros"),
+        (F.floor(F.col("o_totalprice") / 5000).cast("int") + 8).alias("size_sqm"),
+        heat.alias("heating"),
+        net.alias("internet"),
+        langs.alias("languages"),
+        F.col("o_orderdate").alias("published_on"),
+        (k % 24).cast("int").alias("published_at"),
+        (k % 7 != 0).alias("details_searched"),
+    )
+
+
+@query(
+    "e1_classify_when_chains",
+    oracle=f"""
+    SELECT id,
+           CASE
+             WHEN contains(heating, 'Zentral') THEN 'central'
+             WHEN contains(heating, 'Gas') THEN 'gas'
+             WHEN contains(heating, 'Ofen') OR contains(heating, 'ofen') THEN 'stove'
+             WHEN contains(heating, 'Fernwärme') THEN 'district'
+             WHEN contains(heating, 'Etagen') THEN 'floor'
+             ELSE 'unknown'
+           END AS heating_class,
+           CASE
+             WHEN contains(internet, 'mehr als 100') THEN 100
+             WHEN contains(internet, '50-100') THEN 75
+             WHEN contains(internet, '26-50') THEN 38
+             WHEN contains(internet, '16-25') THEN 20
+             ELSE 0
+           END AS internet_mbits
+    FROM ({_ads_sql()})
+    """,
+)
+def e1_classify_when_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """German-label → category WHEN-chains (reference heating classifier
+    ads_table_processing.py:200-220, internet speed :437-446 — per-row
+    lambdas there, one codegen'd CASE expression here)."""
+    ads = _ads_df(spark, sf_dir)
+    h = F.col("heating")
+    heating_class = (
+        F.when(h.contains("Zentral"), "central")
+        .when(h.contains("Gas"), "gas")
+        .when(h.contains("Ofen") | h.contains("ofen"), "stove")
+        .when(h.contains("Fernwärme"), "district")
+        .when(h.contains("Etagen"), "floor")
+        .otherwise("unknown")
+    )
+    n = F.col("internet")
+    mbits = (
+        F.when(n.contains("mehr als 100"), 100)
+        .when(n.contains("50-100"), 75)
+        .when(n.contains("26-50"), 38)
+        .when(n.contains("16-25"), 20)
+        .otherwise(0)
+    )
+    return ads.select(
+        "id", heating_class.alias("heating_class"), mbits.alias("internet_mbits")
+    )
+
+
+@query(
+    "e2_multihot_split",
+    oracle=f"""
+    SELECT id,
+           CASE WHEN list_contains(string_split(languages, ', '), 'Deutsch')
+                THEN 1 ELSE 0 END AS lang_deutsch,
+           CASE WHEN list_contains(string_split(languages, ', '), 'Englisch')
+                THEN 1 ELSE 0 END AS lang_englisch,
+           CASE WHEN list_contains(string_split(languages, ', '), 'Spanisch')
+                THEN 1 ELSE 0 END AS lang_spanisch,
+           CASE WHEN list_contains(string_split(languages, ', '), 'Französisch')
+                THEN 1 ELSE 0 END AS lang_franzoesisch,
+           len(list_filter(string_split(languages, ', '), x -> length(x) > 0))
+             AS n_langs
+    FROM ({_ads_sql()})
+    """,
+)
+def e2_multihot_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comma-joined multi-valued string → multi-hot ints (reference
+    splits `languages`/`wg_type` by substring tests,
+    ads_table_processing.py:467-531; here: split once, array_contains)."""
+    ads = _ads_df(spark, sf_dir)
+    arr = F.split(F.col("languages"), ", ")
+    cols = [
+        F.when(F.array_contains(arr, lang), 1)
+        .otherwise(0)
+        .alias(f"lang_{alias}")
+        for lang, alias in zip(
+            _LANGS, ["deutsch", "englisch", "spanisch", "franzoesisch"]
+        )
+    ]
+    n_langs = F.size(F.filter(arr, lambda x: F.length(x) > 0))
+    return ads.select("id", *cols, n_langs.alias("n_langs"))
+
+
+@query(
+    "e3_date_features",
+    oracle=f"""
+    SELECT id,
+           date_diff('day', DATE '2022-01-01', published_on) AS days_since_2022,
+           round(sin(2 * pi() * published_at / 24), 4) AS sin_published_at,
+           round(cos(2 * pi() * published_at / 24), 4) AS cos_published_at,
+           dayofweek(published_on) + 1 AS dow,
+           round(price_euros::DOUBLE / size_sqm, 4) AS price_per_sqm
+    FROM ({_ads_sql()})
+    """,
+)
+def e3_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engineered features: days-since-epoch, sin/cos hour encoding,
+    weekday, price-per-sqm ratio (reference feature_engineering,
+    ads_table_processing.py:547-704, esp. :677-702 polar encodings)."""
+    import math
+
+    ads = _ads_df(spark, sf_dir)
+    two_pi = 2 * math.pi
+    return ads.select(
+        "id",
+        F.datediff(F.col("published_on").cast("date"), F.lit("2022-01-01").cast("date")).alias(
+            "days_since_2022"
+        ),
+        F.round(F.sin(F.lit(two_pi) * F.col("published_at") / 24), 4).alias(
+            "sin_published_at"
+        ),
+        F.round(F.cos(F.lit(two_pi) * F.col("published_at") / 24), 4).alias(
+            "cos_published_at"
+        ),
+        F.dayofweek("published_on").alias("dow"),
+        F.round(F.col("price_euros").cast("double") / F.col("size_sqm"), 4).alias(
+            "price_per_sqm"
+        ),
+    )
+
+
+@query(
+    "e4_imputation",
+    oracle=f"""
+    SELECT id,
+           CASE WHEN NOT details_searched THEN NULL
+                ELSE coalesce(internet, 'no_answer') END AS internet_imputed,
+           CASE WHEN NOT details_searched THEN NULL
+                WHEN price_euros IS NULL THEN 0
+                ELSE price_euros END AS price_imputed
+    FROM ({_ads_sql()})
+    """,
+)
+def e4_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Imputation with the reference's twist: fill defaults, then re-null
+    every detail column where details were never fetched
+    (ads_table_processing.py:706-783 imputing_values)."""
+    ads = _ads_df(spark, sf_dir)
+    ds = F.col("details_searched")
+    return ads.select(
+        "id",
+        F.when(~ds, None)
+        .otherwise(F.coalesce(F.col("internet"), F.lit("no_answer")))
+        .alias("internet_imputed"),
+        F.when(~ds, None)
+        .otherwise(F.coalesce(F.col("price_euros"), F.lit(0)))
+        .alias("price_imputed"),
+    )
+
+
+@query(
+    "e5_umlaut_normalize",
+    oracle=f"""
+    SELECT id,
+           replace(replace(replace(replace(replace(replace(replace(
+             heating, 'ä', 'ae'), 'ö', 'oe'), 'ü', 'ue'),
+             'Ä', 'Ae'), 'Ö', 'Oe'), 'Ü', 'Ue'), 'ß', 'ss')
+           AS heating_ascii
+    FROM ({_ads_sql()})
+    """,
+)
+def e5_umlaut_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Umlaut transliteration (reference string_utils.py:12-17) as a
+    replace chain — shared with functions/strings.simplify_umlauts."""
+    from .functions.strings import simplify_umlauts
+
+    ads = _ads_df(spark, sf_dir)
+    return ads.select("id", simplify_umlauts(F.col("heating")).alias("heating_ascii"))

@@ -49,4 +49,26 @@ def spark_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to Python workers (spark-submit --py-files
+    semantics): local-mode workers don't inherit the driver's cwd, so
+    mapInPandas closures referencing the package would fail to unpickle
+    without it."""
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"hcs_pyfiles_{os.getpid()}", "housing_crawler_spark"
+    )
+    if not os.path.exists(zip_base + ".zip"):
+        os.makedirs(os.path.dirname(zip_base), exist_ok=True)
+        shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "housing_crawler_spark")
+    try:
+        spark.sparkContext.addPyFile(zip_base + ".zip")
+    except Exception:
+        pass  # already added in this context

@@ -1,0 +1,125 @@
+"""Snapshot-versioned table store over Parquet (Iceberg stand-in).
+
+The sandbox has no Iceberg runtime jars (offline), so this module
+implements the minimal Iceberg-shaped contract the engine needs —
+immutable per-round snapshots, atomic commit, read-at-snapshot,
+append-only logs, resume from the last committed round — as plain
+parquet directories plus JSON manifests. The interface is deliberately
+narrow so a real Iceberg catalog (``df.writeTo(...).append()`` /
+``MERGE INTO`` / snapshot ids) is a drop-in replacement on a cluster.
+
+Layout:
+
+    root/
+      _commits.json                     # [{round, tables, ts? no — no clock}, ...]
+      <table>/snap-000007/*.parquet     # full state of <table> at round 7
+      <table>/delta-000007/*.parquet    # append-only delta for round 7
+
+Commit protocol (crash-safe):
+1. write every table's ``snap-``/``delta-`` dir for round r (parquet
+   write is to a temp name then rename by Spark itself);
+2. atomically replace ``_commits.json`` (write ``_commits.json.tmp`` +
+   ``os.replace``) recording round r and per-table row counts + file
+   lists (the per-partition lineage/metrics the north_rule asks for).
+
+Readers only ever look at rounds listed in ``_commits.json``; a crash
+mid-round leaves orphan dirs that are ignored and overwritten on retry,
+so resume-from-checkpoint is bit-identical to an uninterrupted run
+(test_crawl_resume.py proves it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- commit log --------------------------------------------------------
+
+    def _commits_path(self) -> str:
+        return os.path.join(self.root, "_commits.json")
+
+    def commits(self) -> list[dict]:
+        p = self._commits_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    def last_round(self) -> int | None:
+        c = self.commits()
+        return c[-1]["round"] if c else None
+
+    # -- write -------------------------------------------------------------
+
+    def _dir(self, table: str, kind: str, rnd: int) -> str:
+        return os.path.join(self.root, table, f"{kind}-{rnd:06d}")
+
+    def write_snapshot(self, df: DataFrame, table: str, rnd: int) -> dict:
+        return self._write(df, table, "snap", rnd)
+
+    def write_delta(self, df: DataFrame, table: str, rnd: int) -> dict:
+        return self._write(df, table, "delta", rnd)
+
+    def _write(self, df: DataFrame, table: str, kind: str, rnd: int) -> dict:
+        path = self._dir(table, kind, rnd)
+        df.write.mode("overwrite").parquet(path)
+        files = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith("_")
+        )
+        return {"table": table, "kind": kind, "path": path, "n_files": len(files)}
+
+    def commit_round(self, rnd: int, table_infos: list[dict], metrics: dict) -> None:
+        """Atomically record round ``rnd`` as committed.
+
+        ``metrics`` carries the per-round lineage (per-host fetch counts,
+        per-partition row counts) so a resumed run can verify state."""
+        commits = self.commits()
+        assert all(c["round"] != rnd for c in commits), f"round {rnd} already committed"
+        commits.append({"round": rnd, "tables": table_infos, "metrics": metrics})
+        tmp = self._commits_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(commits, f, indent=1)
+        os.replace(tmp, self._commits_path())
+
+    # -- read --------------------------------------------------------------
+
+    def read_snapshot(self, spark: SparkSession, table: str, rnd: int) -> DataFrame:
+        return spark.read.parquet(self._dir(table, "snap", rnd))
+
+    def read_deltas(
+        self,
+        spark: SparkSession,
+        table: str,
+        up_to_round: int,
+        from_round: int = 0,
+    ) -> DataFrame | None:
+        """Union of committed deltas for ``table`` in [from_round, up_to]."""
+        paths = []
+        for c in self.commits():
+            if not (from_round <= c["round"] <= up_to_round):
+                continue
+            for t in c["tables"]:
+                if t["table"] == table and t["kind"] == "delta":
+                    paths.append(t["path"])
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def latest_snapshot_round(self, table: str, up_to_round: int) -> int | None:
+        """Round of the most recent committed full snapshot of ``table``."""
+        best = None
+        for c in self.commits():
+            if c["round"] > up_to_round:
+                continue
+            for t in c["tables"]:
+                if t["table"] == table and t["kind"] == "snap":
+                    best = c["round"]
+        return best

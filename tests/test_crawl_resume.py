@@ -1,0 +1,70 @@
+"""Checkpoint/resume: a run killed after round k and resumed must be
+bit-identical to an uninterrupted run (north_rule)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from housing_crawler_spark import synth
+from housing_crawler_spark.crawl import CrawlEngine, EngineConfig
+from housing_crawler_spark.storage.snapshots import SnapshotStore
+
+WORLD = synth.WorldConfig(n_hosts=5, base_pages=6)
+N_ROUNDS = 6
+KILL_AFTER = 3
+
+
+def _state_digest(eng: CrawlEngine, n_rounds: int) -> dict:
+    order = [
+        (r["round"], r["host"], r["canonical_url"], r["kind"], r["rank"])
+        for r in eng.fetch_log(n_rounds)
+        .orderBy("round", "host_idx", "rank")
+        .collect()
+    ]
+    seen = sorted(r["canonical_url"] for r in eng.seen(n_rounds).collect())
+    frontier = sorted(tuple(r) for r in eng.frontier(n_rounds).collect())
+    images = sorted(
+        (
+            r["image_id"],
+            hashlib.sha256(bytes(r["bytes"])).hexdigest(),
+            r["caption"],
+            r["phash"],
+        )
+        for r in eng.images(n_rounds).collect()
+    )
+    return {"order": order, "seen": seen, "frontier": frontier, "images": images}
+
+
+def test_kill_resume_bit_identical(spark, tmp_path):
+    seed, robots = synth.seed_frontier_rows(WORLD), synth.robots_rows(WORLD)
+
+    full = CrawlEngine(spark, SnapshotStore(str(tmp_path / "full")), WORLD, EngineConfig())
+    full.init_state(seed, robots)
+    full.run(N_ROUNDS)
+
+    store_b = SnapshotStore(str(tmp_path / "killed"))
+    part = CrawlEngine(spark, store_b, WORLD, EngineConfig())
+    part.init_state(seed, robots)
+    part.run(KILL_AFTER)  # "killed" here
+
+    # a fresh engine over the same store resumes from the commit log
+    resumed = CrawlEngine(spark, SnapshotStore(str(tmp_path / "killed")), WORLD, EngineConfig())
+    assert resumed.store.last_round() == KILL_AFTER
+    resumed.run(N_ROUNDS)
+
+    assert _state_digest(full, N_ROUNDS) == _state_digest(resumed, N_ROUNDS)
+
+
+def test_commit_log_is_atomic(spark, tmp_path):
+    """An uncommitted (orphan) snapshot dir is invisible to readers."""
+    store = SnapshotStore(str(tmp_path / "atomic"))
+    eng = CrawlEngine(spark, store, WORLD, EngineConfig())
+    eng.init_state(synth.seed_frontier_rows(WORLD), synth.robots_rows(WORLD))
+    eng.run(2)
+    # simulate a crash mid-round-3: delta written, commit never lands
+    orphan = eng.seen(2)
+    store.write_delta(orphan, "seen", 3)
+    assert store.last_round() == 2  # orphan dir ignored
+    eng2 = CrawlEngine(spark, store, WORLD, EngineConfig())
+    eng2.run(3)  # retries round 3, overwriting the orphan
+    assert store.last_round() == 3

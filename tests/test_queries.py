@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from housing_crawler_spark.queries import REGISTRY
+from housing_crawler_spark.all_queries import REGISTRY
 
 from .oracle_harness import compare, duckdb_run
 
