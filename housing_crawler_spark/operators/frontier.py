@@ -42,9 +42,30 @@ def with_budgets(robots: DataFrame, round_seconds: int) -> DataFrame:
     )
 
 
-def select_round(cand: DataFrame, budgets: DataFrame, salt_threshold: int = 100_000) -> DataFrame:
+def select_round(
+    cand: DataFrame,
+    budgets: DataFrame,
+    salt_threshold: int = 100_000,
+    frontier_size_hint: int | None = None,
+) -> DataFrame:
     """Top-``budget`` eligible rows per host by priority order — exact,
-    skew-safe. Returns the input columns + ``rank`` (1-based per host)."""
+    skew-safe. Returns the input columns + ``rank`` (1-based per host).
+
+    ``frontier_size_hint`` (tracked driver-side, free) picks the path:
+    small frontiers take one window pass; large ones pay a per-host
+    counting pass to size salts, then the two-phase EXACT top-B (local
+    top-B per (host, salt) — any global top-B row is in its salt's local
+    top-B — then re-rank the ≤ salt_n*B survivors). Both paths produce
+    identical selections (test_crawl_parity)."""
+    order = [F.col(x) for x in PRIORITY_COLS]
+    w_host = Window.partitionBy("host").orderBy(*order)
+    if frontier_size_hint is not None and frontier_size_hint <= salt_threshold:
+        return (
+            cand.join(F.broadcast(budgets), "host")
+            .withColumn("rank", F.row_number().over(w_host))
+            .filter(F.col("rank") <= F.col("budget"))
+            .drop("budget")
+        )
     counts = cand.groupBy("host").agg(F.count(F.lit(1)).alias("n_cand"))
     plan = counts.join(budgets, "host").select(
         "host",
@@ -61,12 +82,10 @@ def select_round(cand: DataFrame, budgets: DataFrame, salt_threshold: int = 100_
     c = cand.join(F.broadcast(plan), "host").withColumn(
         "salt", F.pmod(F.xxhash64("canonical_url"), F.col("salt_n"))
     )
-    order = [F.col(x) for x in PRIORITY_COLS]
     w_local = Window.partitionBy("host", "salt").orderBy(*order)
     pruned = c.withColumn("local_rank", F.row_number().over(w_local)).filter(
         F.col("local_rank") <= F.col("budget")
     )
-    w_host = Window.partitionBy("host").orderBy(*order)
     return (
         pruned.withColumn("rank", F.row_number().over(w_host))
         .filter(F.col("rank") <= F.col("budget"))

@@ -61,16 +61,19 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "raw":
         return b"RAW1" + head + img.tobytes()
     if fmt == "pngz":
-        return b"PNGZ" + head + zlib.compress(img.tobytes(), 6)
+        return b"PNGZ" + head + zlib.compress(img.tobytes(), 1)
     if fmt == "dctq":
         ph = (-h) % 8
         pw = (-w) % 8
         padded = np.pad(img.astype(np.float64) - 128.0, ((0, ph), (0, pw)), mode="edge")
         hh, ww = padded.shape
-        blocks = padded.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
-        coeffs = np.einsum("ij,abjk,lk->abil", _D8, blocks, _D8)
+        blocks = np.ascontiguousarray(
+            padded.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+        )
+        # batched matmul (BLAS) beats einsum's generic contraction ~10x
+        coeffs = _D8 @ blocks @ _D8.T
         q = np.round(coeffs / DCTQ_STEP).astype(np.int16)
-        return b"DCTQ" + head + zlib.compress(q.tobytes(), 6)
+        return b"DCTQ" + head + zlib.compress(q.tobytes(), 1)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -91,7 +94,7 @@ def decode(buf: bytes) -> tuple[np.ndarray, str]:
         .astype(np.float64)
         * DCTQ_STEP
     )
-    blocks = np.einsum("ji,abjk,kl->abil", _D8, q, _D8)
+    blocks = _D8.T @ q @ _D8
     img = blocks.transpose(0, 2, 1, 3).reshape(hh, ww)[:h, :w] + 128.0
     return np.clip(np.round(img), 0, 255).astype(np.uint8), fmt
 

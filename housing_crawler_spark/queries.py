@@ -9,8 +9,15 @@ on the same parquet files; the pair must agree on row count, schema
 (column names) and an order-insensitive value hash.
 
 Conventions that make the oracle comparison exact:
-- every float-valued output column is explicitly ``round(x, 4)`` on BOTH
-  sides (summation-order differences between engines live far below 1e-4);
+- every float-valued output column is rounded on BOTH sides through the
+  ``r4``/``rsum2`` helpers, which add a tiny epsilon before rounding.
+  The epsilon matters: Spark rounds doubles via BigDecimal of the
+  shortest decimal string while DuckDB rounds the binary value, so a
+  value that is a decimal midpoint (x.xxxx5 — common when inputs have
+  2 decimals) flips direction between engines. Shifting both by
+  +1e-9 (≫ engine FP noise, ≪ the rounding quantum) makes the
+  decision identical; big SUMs round at 2 decimals with a relative
+  epsilon since their FP noise scales with magnitude;
 - every SUM over integers is cast to BIGINT in SQL (DuckDB widens to
   HUGEINT, Spark stays long);
 - every computed column is aliased identically on both sides;
@@ -47,6 +54,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def r4(c) -> "F.Column":
+    """Cross-engine-stable 4-decimal rounding (see module docstring).
+    SQL twin: round(X + 1e-9, 4)."""
+    return F.round(c + F.lit(1e-9), 4)
+
+
+def _rsum4(c) -> "F.Column":
+    """Cross-engine-stable rounding for large SUMs (relative epsilon —
+    FP noise of a big sum scales with its magnitude, so the shift must
+    too). SQL twin: round(X + abs(X) * 1e-11 + 1e-9, 4)."""
+    return F.round(c + F.abs(c) * F.lit(1e-11) + F.lit(1e-9), 4)
+
+
 @dataclass(frozen=True)
 class QueryDef:
     name: str
@@ -81,13 +101,19 @@ def query(name: str, oracle: str | None = None):
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                        AS sum_qty,
-           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           round(sum(l_quantity) + abs(sum(l_quantity)) * 1e-11 + 1e-9, 4)
+             AS sum_qty,
+           round(sum(l_extendedprice) + abs(sum(l_extendedprice)) * 1e-11 + 1e-9, 4)
+             AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount))
+                 + abs(sum(l_extendedprice * (1 - l_discount))) * 1e-11 + 1e-9, 4)
+             AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                 + abs(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1e-11 + 1e-9, 4)
+             AS sum_charge,
+           round((avg(l_quantity)) + 1e-9, 4)                                        AS avg_qty,
+           round((avg(l_extendedprice)) + 1e-9, 4)                                   AS avg_price,
+           round((avg(l_discount)) + 1e-9, 4)                                        AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -106,22 +132,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "sum_disc_price"
-            ),
-            F.round(
+            _rsum4(F.sum("l_quantity")).alias("sum_qty"),
+            _rsum4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _rsum4(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            _rsum4(
                 F.sum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
-                ),
-                4,
+                )
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round((F.avg("l_quantity")) + F.lit(1e-9), 4).alias("avg_qty"),
+            F.round((F.avg("l_extendedprice")) + F.lit(1e-9), 4).alias("avg_price"),
+            F.round((F.avg("l_discount")) + F.lit(1e-9), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -132,7 +157,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT o.o_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           round((sum(l.l_extendedprice * (1 - l.l_discount))) + abs(sum(l.l_extendedprice * (1 - l.l_discount))) * 1e-11 + 1e-9, 4) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -163,9 +188,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
+            _rsum4(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
         )
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderkey")
@@ -181,7 +206,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f2_equality_filter",
     oracle="""
-    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice_r
+    SELECT o_orderkey, o_custkey, round((o_totalprice) + 1e-9, 4) AS o_totalprice_r
     FROM orders WHERE o_orderstatus = 'O'
     """,
 )
@@ -195,7 +220,7 @@ def f2_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            F.round("o_totalprice", 4).alias("o_totalprice_r"),
+            F.round(F.col("o_totalprice") + F.lit(1e-9), 4).alias("o_totalprice_r"),
         )
     )
 
@@ -226,7 +251,7 @@ def f3_date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f4_sanity_range_filter",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_returnflag,
-           round(l_quantity, 4) AS qty, round(l_extendedprice, 4) AS price
+           round((l_quantity) + 1e-9, 4) AS qty, round((l_extendedprice) + 1e-9, 4) AS price
     FROM lineitem
     WHERE CASE
             WHEN l_returnflag = 'R' THEN l_quantity BETWEEN 5 AND 45
@@ -251,8 +276,8 @@ def f4_sanity_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
-        F.round("l_quantity", 4).alias("qty"),
-        F.round("l_extendedprice", 4).alias("price"),
+        F.round(F.col("l_quantity") + F.lit(1e-9), 4).alias("qty"),
+        F.round(F.col("l_extendedprice") + F.lit(1e-9), 4).alias("price"),
     )
 
 
@@ -284,7 +309,7 @@ def f7_min_support_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f9_fraction_cap_filter",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_discount / nullif(l_tax, 0), 4) AS ratio
+           round((l_discount / nullif(l_tax, 0)) + 1e-9, 4) AS ratio
     FROM lineitem
     WHERE (l_discount / nullif(l_tax, 0)) <= 0.7
        OR (l_discount / nullif(l_tax, 0)) IS NULL
@@ -296,7 +321,7 @@ def f9_fraction_cap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     ratio = F.col("l_discount") / F.nullif(F.col("l_tax"), F.lit(0))
     return li.filter((ratio <= 0.7) | ratio.isNull()).select(
-        "l_orderkey", "l_linenumber", F.round(ratio, 4).alias("ratio")
+        "l_orderkey", "l_linenumber", F.round((ratio) + F.lit(1e-9), 4).alias("ratio")
     )
 
 
@@ -333,7 +358,7 @@ def j1_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j4_chained_left_join",
     oracle="""
     SELECT n.n_name, r.r_name, count(c.c_custkey) AS n_customers,
-           round(avg(c.c_acctbal), 4) AS avg_bal
+           round((avg(c.c_acctbal)) + 1e-9, 4) AS avg_bal
     FROM nation n
     LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
     LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -354,7 +379,7 @@ def j4_chained_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "r_name")
         .agg(
             F.count("c_custkey").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round((F.avg("c_acctbal")) + F.lit(1e-9), 4).alias("avg_bal"),
         )
         .orderBy("n_name")
     )
@@ -364,8 +389,8 @@ def j4_chained_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j5_stat_merge",
     oracle="""
     SELECT c_nationkey,
-           round(avg(c_acctbal), 4)         AS mean_bal,
-           round(stddev_samp(c_acctbal), 4) AS std_bal,
+           round((avg(c_acctbal)) + 1e-9, 4)         AS mean_bal,
+           round((stddev_samp(c_acctbal)) + 1e-9, 4) AS std_bal,
            count(*)                          AS n
     FROM customer GROUP BY c_nationkey
     """,
@@ -376,8 +401,8 @@ def j5_stat_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     app.py:652-666 — the join disappears in a columnar plan)."""
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.round(F.avg("c_acctbal"), 4).alias("mean_bal"),
-        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+        F.round((F.avg("c_acctbal")) + F.lit(1e-9), 4).alias("mean_bal"),
+        F.round((F.stddev_samp("c_acctbal")) + F.lit(1e-9), 4).alias("std_bal"),
         F.count("*").alias("n"),
     )
 
@@ -390,7 +415,7 @@ def j5_stat_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a3_daily_total_grand_mean",
     oracle="""
-    SELECT round(avg(n_day), 4) AS mean_daily_events
+    SELECT round((avg(n_day)) + 1e-9, 4) AS mean_daily_events
     FROM (
       SELECT date_trunc('day', ts) AS d, count(*) AS n_day
       FROM events GROUP BY 1
@@ -404,7 +429,7 @@ def a3_daily_total_grand_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.count("*").alias("n_day")
     )
-    return daily.agg(F.round(F.avg("n_day"), 4).alias("mean_daily_events"))
+    return daily.agg(F.round((F.avg("n_day")) + F.lit(1e-9), 4).alias("mean_daily_events"))
 
 
 @query(
@@ -494,7 +519,7 @@ def w5_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "o1_topk_per_group",
     oracle="""
-    SELECT c_mktsegment, c_custkey, round(c_acctbal, 4) AS bal
+    SELECT c_mktsegment, c_custkey, round((c_acctbal) + 1e-9, 4) AS bal
     FROM (
       SELECT c_mktsegment, c_custkey, c_acctbal,
              row_number() OVER (
@@ -512,7 +537,7 @@ def o1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 4).alias("bal"))
+        .select("c_mktsegment", "c_custkey", F.round(F.col("c_acctbal") + F.lit(1e-9), 4).alias("bal"))
     )
 
 
@@ -520,7 +545,7 @@ def o1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "u1_union_reconcile",
     oracle="""
     SELECT s_suppkey AS entity_key, s_name AS entity_name,
-           round(s_acctbal, 4) AS bal, 'supplier' AS side
+           round((s_acctbal) + 1e-9, 4) AS bal, 'supplier' AS side
     FROM supplier
     UNION ALL
     SELECT c_custkey AS entity_key, c_name AS entity_name,
@@ -535,7 +560,7 @@ def u1_union_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("entity_key"),
         F.col("s_name").alias("entity_name"),
-        F.round("s_acctbal", 4).alias("bal"),
+        F.round(F.col("s_acctbal") + F.lit(1e-9), 4).alias("bal"),
         F.lit("supplier").alias("side"),
     )
     c = load(spark, sf_dir, "customer").select(

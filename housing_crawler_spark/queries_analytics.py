@@ -37,7 +37,7 @@ def a1_count_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a5_multi_agg_sorted",
     oracle="""
-    SELECT c_nationkey, round(avg(c_acctbal), 4) AS mean_bal, count(*) AS n
+    SELECT c_nationkey, round((avg(c_acctbal)) + 1e-9, 4) AS mean_bal, count(*) AS n
     FROM customer GROUP BY c_nationkey
     ORDER BY mean_bal DESC, c_nationkey
     """,
@@ -47,7 +47,7 @@ def a5_multi_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
-        .agg(F.round(F.avg("c_acctbal"), 4).alias("mean_bal"), F.count("*").alias("n"))
+        .agg(F.round((F.avg("c_acctbal")) + F.lit(1e-9), 4).alias("mean_bal"), F.count("*").alias("n"))
         .orderBy(F.desc("mean_bal"), "c_nationkey")
     )
 
@@ -56,8 +56,8 @@ def a5_multi_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a9_standardize",
     oracle="""
     SELECT c_custkey,
-           round((c_acctbal - (SELECT avg(c_acctbal) FROM customer))
-                 / (SELECT stddev_samp(c_acctbal) FROM customer), 4) AS z
+           round(((c_acctbal - (SELECT avg(c_acctbal) FROM customer))
+                 / (SELECT stddev_samp(c_acctbal) FROM customer)) + 1e-9, 4) AS z
     FROM customer
     """,
 )
@@ -72,7 +72,7 @@ def a9_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.crossJoin(F.broadcast(stats)).select(
         "c_custkey",
-        F.round((F.col("c_acctbal") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        F.round(((F.col("c_acctbal") - F.col("mu")) / F.col("sigma")) + F.lit(1e-9), 4).alias("z"),
     )
 
 
@@ -80,9 +80,9 @@ def a9_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a11_threshold_bands",
     oracle="""
     SELECT l_returnflag,
-           round(avg(CASE WHEN abs(l_extendedprice - grp_mean) <= 1000 THEN 1 ELSE 0 END), 4) AS within_1000,
-           round(avg(CASE WHEN abs(l_extendedprice - grp_mean) <= 5000 THEN 1 ELSE 0 END), 4) AS within_5000,
-           round(avg(CASE WHEN abs(l_extendedprice - grp_mean) <= 20000 THEN 1 ELSE 0 END), 4) AS within_20000
+           round((avg(CASE WHEN abs(l_extendedprice - grp_mean) <= 1000 THEN 1 ELSE 0 END)) + 1e-9, 4) AS within_1000,
+           round((avg(CASE WHEN abs(l_extendedprice - grp_mean) <= 5000 THEN 1 ELSE 0 END)) + 1e-9, 4) AS within_5000,
+           round((avg(CASE WHEN abs(l_extendedprice - grp_mean) <= 20000 THEN 1 ELSE 0 END)) + 1e-9, 4) AS within_20000
     FROM (
       SELECT l_returnflag, l_extendedprice,
              avg(l_extendedprice) OVER (PARTITION BY l_returnflag) AS grp_mean
@@ -102,7 +102,7 @@ def a11_threshold_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = F.abs(F.col("l_extendedprice") - F.col("grp_mean"))
     return li.groupBy("l_returnflag").agg(
         *[
-            F.round(F.avg(F.when(resid <= t, 1).otherwise(0)), 4).alias(f"within_{t}")
+            F.round((F.avg(F.when(resid <= t, 1).otherwise(0))) + F.lit(1e-9), 4).alias(f"within_{t}")
             for t in (1000, 5000, 20000)
         ]
     )
@@ -111,8 +111,8 @@ def a11_threshold_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a12_ttest_ingredients",
     oracle="""
-    SELECT n1, n2, round(m1, 4) AS mean_r, round(m2, 4) AS mean_other,
-           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat
+    SELECT n1, n2, round((m1) + 1e-9, 4) AS mean_r, round((m2) + 1e-9, 4) AS mean_other,
+           round(((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) + 1e-9, 4) AS t_stat
     FROM (
       SELECT count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n1,
              count(CASE WHEN l_returnflag != 'R' THEN 1 END) AS n2,
@@ -144,16 +144,16 @@ def a12_ttest_ingredients(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n1",
         "n2",
-        F.round("m1", 4).alias("mean_r"),
-        F.round("m2", 4).alias("mean_other"),
-        F.round(t, 4).alias("t_stat"),
+        F.round(F.col("m1") + F.lit(1e-9), 4).alias("mean_r"),
+        F.round(F.col("m2") + F.lit(1e-9), 4).alias("mean_other"),
+        F.round((t) + F.lit(1e-9), 4).alias("t_stat"),
     )
 
 
 @query(
     "a13_ols_slope",
     oracle="""
-    SELECT round(sum(l_quantity * l_extendedprice) / sum(l_quantity * l_quantity), 4)
+    SELECT round((sum(l_quantity * l_extendedprice) / sum(l_quantity * l_quantity)) + 1e-9, 4)
            AS slope
     FROM lineitem
     """,
@@ -163,11 +163,8 @@ def a13_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     app.py:1013-1018)."""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
-        F.round(
-            F.sum(F.col("l_quantity") * F.col("l_extendedprice"))
-            / F.sum(F.col("l_quantity") * F.col("l_quantity")),
-            4,
-        ).alias("slope")
+        F.round((F.sum(F.col("l_quantity") * F.col("l_extendedprice"))
+            / F.sum(F.col("l_quantity") * F.col("l_quantity"))) + F.lit(1e-9), 4).alias("slope")
     )
 
 
@@ -198,7 +195,7 @@ def a14_latest_complete_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a15_percentile_of_value",
     oracle="""
     SELECT o_orderpriority,
-           round(avg(CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0 END), 4)
+           round((avg(CASE WHEN o_totalprice < 150000 THEN 1 ELSE 0 END)) + 1e-9, 4)
            AS frac_cheaper,
            count(*) AS n
     FROM orders GROUP BY o_orderpriority
@@ -209,7 +206,7 @@ def a15_percentile_of_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     'your ad is cheaper than X% of the city', app.py:939-957)."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.avg(F.when(F.col("o_totalprice") < 150000, 1).otherwise(0)), 4).alias(
+        F.round((F.avg(F.when(F.col("o_totalprice") < 150000, 1).otherwise(0))) + F.lit(1e-9), 4).alias(
             "frac_cheaper"
         ),
         F.count("*").alias("n"),
@@ -225,7 +222,7 @@ def a15_percentile_of_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w2_time_bucket",
     oracle="""
     SELECT (date_diff('day', DATE '2024-01-01', ts) // 3) AS bucket_3d,
-           count(*) AS n, round(avg(value), 4) AS mean_value
+           count(*) AS n, round((avg(value)) + 1e-9, 4) AS mean_value
     FROM events GROUP BY 1
     """,
 )
@@ -237,7 +234,7 @@ def w2_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 3
     )
     return ev.groupBy(bucket.alias("bucket_3d")).agg(
-        F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("mean_value")
+        F.count("*").alias("n"), F.round((F.avg("value")) + F.lit(1e-9), 4).alias("mean_value")
     )
 
 

@@ -182,10 +182,10 @@ def e2_multihot_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT id,
            date_diff('day', DATE '2022-01-01', published_on) AS days_since_2022,
-           round(sin(2 * pi() * published_at / 24), 4) AS sin_published_at,
-           round(cos(2 * pi() * published_at / 24), 4) AS cos_published_at,
+           round((sin(2 * pi() * published_at / 24)) + 1e-9, 4) AS sin_published_at,
+           round((cos(2 * pi() * published_at / 24)) + 1e-9, 4) AS cos_published_at,
            dayofweek(published_on) + 1 AS dow,
-           round(price_euros::DOUBLE / size_sqm, 4) AS price_per_sqm
+           round((price_euros::DOUBLE / size_sqm) + 1e-9, 4) AS price_per_sqm
     FROM ({_ads_sql()})
     """,
 )
@@ -202,14 +202,14 @@ def e3_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("published_on").cast("date"), F.lit("2022-01-01").cast("date")).alias(
             "days_since_2022"
         ),
-        F.round(F.sin(F.lit(two_pi) * F.col("published_at") / 24), 4).alias(
+        F.round((F.sin(F.lit(two_pi) * F.col("published_at") / 24)) + F.lit(1e-9), 4).alias(
             "sin_published_at"
         ),
-        F.round(F.cos(F.lit(two_pi) * F.col("published_at") / 24), 4).alias(
+        F.round((F.cos(F.lit(two_pi) * F.col("published_at") / 24)) + F.lit(1e-9), 4).alias(
             "cos_published_at"
         ),
         F.dayofweek("published_on").alias("dow"),
-        F.round(F.col("price_euros").cast("double") / F.col("size_sqm"), 4).alias(
+        F.round((F.col("price_euros").cast("double") / F.col("size_sqm")) + F.lit(1e-9), 4).alias(
             "price_per_sqm"
         ),
     )

@@ -99,10 +99,10 @@ def _cos_sql(a: str, b: str) -> str:
     SELECT doc_id,
            len({_TOKENS_SQL}) AS n_tokens,
            length(text) AS n_chars_actual,
-           round(length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE
-                 / length(text), 4) AS alpha_ratio,
-           round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
-                 / len({_TOKENS_SQL}), 4) AS avg_token_len
+           round((length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE
+                 / length(text)) + 1e-9, 4) AS alpha_ratio,
+           round((length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                 / len({_TOKENS_SQL})) + 1e-9, 4) AS avg_token_len
     FROM documents WHERE length(text) > 0
     """,
 )
@@ -115,15 +115,9 @@ def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
-        F.round(
-            F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
-            / F.length("text"),
-            4,
-        ).alias("alpha_ratio"),
-        F.round(
-            F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / F.size(toks),
-            4,
-        ).alias("avg_token_len"),
+        F.round((F.length(F.regexp_replace("text", "[^a-z ]", "")).cast("double")
+            / F.length("text")) + F.lit(1e-9), 4).alias("alpha_ratio"),
+        F.round((F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / F.size(toks)) + F.lit(1e-9), 4).alias("avg_token_len"),
     )
 
 
@@ -402,8 +396,8 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d5_ngram_jaccard_pairs",
     oracle=f"""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.g, b.g))::DOUBLE
-                 / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
+           round((len(list_intersect(a.g, b.g))::DOUBLE
+                 / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))) + 1e-9, 4)
            AS jaccard
     FROM (SELECT doc_id, {_3GRAMS_SQL} AS g FROM documents) a
     JOIN (SELECT doc_id, {_3GRAMS_SQL} AS g FROM documents) b
@@ -422,11 +416,8 @@ def d5_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.round(
-            inter.cast("double")
-            / (F.size(F.col("a.g")) + F.size(F.col("b.g")) - inter),
-            4,
-        ).alias("jaccard"),
+        F.round((inter.cast("double")
+            / (F.size(F.col("a.g")) + F.size(F.col("b.g")) - inter)) + F.lit(1e-9), 4).alias("jaccard"),
     )
 
 
@@ -434,7 +425,7 @@ def d5_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d6_embedding_cosine_pairs",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({_cos_sql("a.embedding", "b.embedding")}, 4) AS cos_sim,
+           round(({_cos_sql("a.embedding", "b.embedding")}) + 1e-9, 4) AS cos_sim,
            CASE WHEN {_cos_sql("a.embedding", "b.embedding")} >= 0.9
                 THEN 1 ELSE 0 END AS near_dup
     FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
@@ -449,7 +440,7 @@ def d6_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.round(cs, 4).alias("cos_sim"),
+        F.round((cs) + F.lit(1e-9), 4).alias("cos_sim"),
         F.when(cs >= 0.9, 1).otherwise(0).alias("near_dup"),
     )
 
@@ -462,13 +453,13 @@ def d6_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s1_knn_bruteforce",
     oracle=f"""
-    SELECT probe_id, neighbor_id, round(cs, 4) AS sim
+    SELECT probe_id, neighbor_id, round((cs) + 1e-9, 4) AS sim
     FROM (
       SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
              {_cos_sql("p.embedding", "x.embedding")} AS cs,
              row_number() OVER (
                PARTITION BY p.vec_id
-               ORDER BY round({_cos_sql("p.embedding", "x.embedding")}, 6) DESC,
+               ORDER BY round(({_cos_sql("p.embedding", "x.embedding")}) + 1e-9, 6) DESC,
                         x.vec_id) AS rk
       FROM (SELECT * FROM embeddings WHERE vec_id < 5) p
       JOIN embeddings x ON x.vec_id != p.vec_id
@@ -483,7 +474,7 @@ def s1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.filter(F.col("vec_id") < 5)
     p, x = probes.alias("p"), e.alias("x")
     cs = cosine(F.col("p.embedding"), F.col("x.embedding"))
-    w = Window.partitionBy("probe_id").orderBy(F.desc(F.round(F.col("cs"), 6)), "neighbor_id")
+    w = Window.partitionBy("probe_id").orderBy(F.desc(F.round((F.col("cs")) + F.lit(1e-9), 6)), "neighbor_id")
     return (
         F.broadcast(p)
         .join(x, F.col("x.vec_id") != F.col("p.vec_id"))
@@ -494,7 +485,7 @@ def s1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("probe_id", "neighbor_id", F.round("cs", 4).alias("sim"))
+        .select("probe_id", "neighbor_id", F.round(F.col("cs") + F.lit(1e-9), 4).alias("sim"))
     )
 
 
@@ -542,13 +533,13 @@ def _bucket_col(emb: Column) -> Column:
       SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
       FROM embeddings
     )
-    SELECT probe_id, neighbor_id, round(cs, 4) AS sim
+    SELECT probe_id, neighbor_id, round((cs) + 1e-9, 4) AS sim
     FROM (
       SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
              {_cos_sql("p.embedding", "x.embedding")} AS cs,
              row_number() OVER (
                PARTITION BY p.vec_id
-               ORDER BY round({_cos_sql("p.embedding", "x.embedding")}, 6) DESC,
+               ORDER BY round(({_cos_sql("p.embedding", "x.embedding")}) + 1e-9, 6) DESC,
                         x.vec_id) AS rk
       FROM (SELECT * FROM bucketed WHERE vec_id < 5) p
       JOIN bucketed x ON x.bucket = p.bucket AND x.vec_id != p.vec_id
@@ -566,7 +557,7 @@ def s2_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     p, x = probes.alias("p"), e.alias("x")
     cs = cosine(F.col("p.embedding"), F.col("x.embedding"))
     w = Window.partitionBy("probe_id").orderBy(
-        F.desc(F.round(F.col("cs"), 6)), "neighbor_id"
+        F.desc(F.round((F.col("cs")) + F.lit(1e-9), 6)), "neighbor_id"
     )
     return (
         p.join(
@@ -581,5 +572,5 @@ def s2_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("probe_id", "neighbor_id", F.round("cs", 4).alias("sim"))
+        .select("probe_id", "neighbor_id", F.round(F.col("cs") + F.lit(1e-9), 4).alias("sim"))
     )

@@ -32,6 +32,11 @@ def spark_session(
     """
     cores = cores or DEFAULT_CPUS
     shuffle = shuffle_partitions or cores
+    # one BLAS thread per python worker: task-level parallelism already
+    # saturates the cores; nested BLAS threading (OpenBLAS defaults to
+    # n_cores PER process) oversubscribes 32x32 and thrashes
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -44,6 +49,9 @@ def spark_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

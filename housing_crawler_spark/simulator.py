@@ -64,7 +64,7 @@ def make_images(cfg: synth.WorldConfig, url: str, res: synth.FetchResult) -> lis
     caption = synth.clean_caption_py(res.caption_raw)
     out = []
     for idx in range(res.n_images):
-        img = synth.gen_image(res.payload_seed, idx)
+        img = synth.gen_image(res.payload_seed, idx, cfg.img_lo, cfg.img_hi, cfg.img_noise)
         fmt = synth.image_fmt(cfg, url, idx)
         out.append(
             {

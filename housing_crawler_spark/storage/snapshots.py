@@ -62,15 +62,24 @@ class SnapshotStore:
     def _dir(self, table: str, kind: str, rnd: int) -> str:
         return os.path.join(self.root, table, f"{kind}-{rnd:06d}")
 
-    def write_snapshot(self, df: DataFrame, table: str, rnd: int) -> dict:
-        return self._write(df, table, "snap", rnd)
+    def write_snapshot(
+        self, df: DataFrame, table: str, rnd: int, options: dict | None = None
+    ) -> dict:
+        return self._write(df, table, "snap", rnd, options)
 
-    def write_delta(self, df: DataFrame, table: str, rnd: int) -> dict:
-        return self._write(df, table, "delta", rnd)
+    def write_delta(
+        self, df: DataFrame, table: str, rnd: int, options: dict | None = None
+    ) -> dict:
+        return self._write(df, table, "delta", rnd, options)
 
-    def _write(self, df: DataFrame, table: str, kind: str, rnd: int) -> dict:
+    def _write(
+        self, df: DataFrame, table: str, kind: str, rnd: int, options: dict | None = None
+    ) -> dict:
         path = self._dir(table, kind, rnd)
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        writer.parquet(path)
         files = sorted(
             f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith("_")
         )

@@ -60,6 +60,12 @@ class WorldConfig:
     empty_streak_halt: int = 3  # reference: stop after 3 zero-new pages
     disallow_prefix: str = "/private"
     dup_every: int = 12  # ~8% duplicate seed rows under canonicalization
+    img_lo: int = 16  # image edge range (bench uses bigger images so
+    img_hi: int = 256  # decode compute reflects real photo payloads)
+    imgs_per_detail_max: int = 3
+    fmt_override: str | None = None  # force one codec (bench: 'dctq')
+    img_noise: float = 6.0  # pattern noise sigma (bench lowers it: same
+    # codec compute, far fewer bits after quantization -> less write IO)
 
 
 def h(cfg_seed: int, tag: str) -> int:
@@ -179,11 +185,17 @@ def parse_canonical(url: str) -> tuple[str, str, int | None]:
 
 
 def caption_raw_for(cfg: WorldConfig, url: str) -> str:
+    # ONE hash per caption; words/dirt derived from its digit groups
+    # (pure-python xxhash64 is the fetch stage's hot path)
     k = h(cfg.seed, f"cap:{url}")
     n = 3 + k % 6
-    words = [WORDS[h(cfg.seed, f"capw:{url}:{j}") % len(WORDS)] for j in range(n)]
+    kk = k // 6
+    words = []
+    for _ in range(n):
+        words.append(WORDS[kk % len(WORDS)])
+        kk //= len(WORDS)
     s = " ".join(words)
-    d = h(cfg.seed, f"capd:{url}") % 5
+    d = kk % 5
     if d == 0:
         s = f'"{s}"'
     elif d == 1:
@@ -215,7 +227,7 @@ def fetch(cfg: WorldConfig, canonical_url: str, attempt: int) -> FetchResult:
         return FetchResult(
             "detail",
             caption_raw=caption_raw_for(cfg, canonical_url),
-            n_images=1 + h(cfg.seed, f"nimg:{canonical_url}") % 3,
+            n_images=1 + h(cfg.seed, f"nimg:{canonical_url}") % cfg.imgs_per_detail_max,
             payload_seed=h(cfg.seed, f"payload:{canonical_url}"),
         )
     return FetchResult("gone")
@@ -226,22 +238,24 @@ def fetch(cfg: WorldConfig, canonical_url: str, attempt: int) -> FetchResult:
 # ---------------------------------------------------------------------------
 
 
-def gen_image(payload_seed: int, idx: int) -> np.ndarray:
+def gen_image(
+    payload_seed: int, idx: int, lo: int = 16, hi: int = 256, noise: float = 6.0
+) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(payload_seed + idx))
-    hgt = int(rng.integers(16, 257))
-    wid = int(rng.integers(16, 257))
-    yy, xx = np.mgrid[0:hgt, 0:wid]
+    hgt = int(rng.integers(lo, hi + 1))
+    wid = int(rng.integers(lo, hi + 1))
     fx, fy = float(rng.uniform(1, 4)), float(rng.uniform(1, 4))
     phase = float(rng.uniform(0, 2 * np.pi))
-    img = (
-        128.0
-        + 60.0 * np.sin(2 * np.pi * fx * xx / wid + phase) * np.cos(2 * np.pi * fy * yy / hgt)
-        + rng.normal(0, 6.0, (hgt, wid))
-    )
+    # separable pattern: one outer product instead of full 2-D trig grids
+    sin_x = np.sin(2 * np.pi * fx * np.arange(wid) / wid + phase)
+    cos_y = np.cos(2 * np.pi * fy * np.arange(hgt) / hgt)
+    img = 128.0 + 60.0 * np.outer(cos_y, sin_x) + rng.normal(0, noise, (hgt, wid))
     return np.clip(np.round(img), 0, 255).astype(np.uint8)
 
 
 def image_fmt(cfg: WorldConfig, url: str, idx: int) -> str:
+    if cfg.fmt_override is not None:
+        return cfg.fmt_override
     from .operators.images import FORMATS
 
     return FORMATS[h(cfg.seed, f"fmt:{url}:{idx}") % len(FORMATS)]

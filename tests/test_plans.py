@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the optimizations we claim must actually be
+in the executed plan — filter/projection pushdown to parquet, broadcast
+joins for dims, whole-stage codegen, and no Python eval in pure-SQL
+queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from housing_crawler_spark.all_queries import REGISTRY
+
+
+def plan_of(spark, df, mode: str = "formatted") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_and_projection_pushdown(spark, sf_smoke):
+    df = REGISTRY["f2_equality_filter"].fn(spark, sf_smoke)
+    plan = plan_of(spark, df)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]" in plan
+    # projection pruning: the scan must read only the 3 needed columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_orderdate" not in read_schema
+
+
+def test_date_filter_pushdown(spark, sf_smoke):
+    plan = plan_of(spark, REGISTRY["f3_date_range_filter"].fn(spark, sf_smoke))
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_dim_joins_are_broadcast(spark, sf_smoke):
+    for name in ("q3_shipping_priority", "j1_seen_anti_join", "j4_chained_left_join"):
+        plan = plan_of(spark, REGISTRY[name].fn(spark, sf_smoke))
+        assert "BroadcastHashJoin" in plan, name
+    # the anti join must be broadcast, not shuffle
+    plan = plan_of(spark, REGISTRY["j1_seen_anti_join"].fn(spark, sf_smoke))
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+
+
+def test_no_python_eval_in_sql_queries(spark, sf_smoke):
+    """Every oracle-verified query must be UDF-free (whole plan JVM-side);
+    Python appears only in the multimodal/crawl Arrow stages."""
+    for name, qd in REGISTRY.items():
+        if qd.oracle is None:
+            continue
+        plan = plan_of(spark, qd.fn(spark, sf_smoke), "extended")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "mapInPandas" not in plan.lower(), name
+
+
+def test_wholestage_codegen_on_flagship(spark, sf_smoke):
+    # AQE hides codegen markers until the final plan exists — execute first
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen'd operators
+    assert "*(" in plan and "HashAggregate" in plan
+
+
+def test_single_shuffle_for_groupby(spark, sf_smoke):
+    """q1: partial aggregation map-side, ONE exchange on the group keys
+    (plus the top-level sort's range exchange)."""
+    plan = plan_of(spark, REGISTRY["q1_pricing_summary"].fn(spark, sf_smoke))
+    assert plan.count("hashpartitioning(") == 1, plan[:2000]
+    assert "partial_sum" in plan or "HashAggregate" in plan
