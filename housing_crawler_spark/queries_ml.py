@@ -49,9 +49,12 @@ def norm_text(c: Column) -> Column:
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
-def char_3grams(c: Column) -> Column:
-    """Distinct character 3-grams of normalized text (native exprs)."""
-    n = norm_text(c)
+def char_3grams(n: Column) -> Column:
+    """Distinct character 3-grams of an ALREADY-NORMALIZED text column.
+
+    Callers must materialize norm_text(...) into a real column first:
+    passing the norm expression tree here would re-evaluate the regexes
+    once per array element (O(len²) — measured 50s vs 2s on sf0.1)."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(n) - 2)),
@@ -303,10 +306,14 @@ def d2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: k=4 permutations via salted portable hashes
     over distinct char-3-gram shingles — shingle → minhash entirely in
     higher-order array expressions (no UDF, no shuffle)."""
-    d = load(spark, sf_dir, "documents")
-    grams = char_3grams(F.col("text"))
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("__norm", norm_text(F.col("text")))
+        .withColumn("__g", char_3grams(F.col("__norm")))
+    )
+    g = F.col("__g")
     return d.select(
-        "doc_id", *[_minhash_col(grams, k).alias(f"mh_{k}") for k in range(_N_MINHASH)]
+        "doc_id", *[_minhash_col(g, k).alias(f"mh_{k}") for k in range(_N_MINHASH)]
     )
 
 
@@ -330,10 +337,15 @@ def d2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: 2 bands × 2 rows; banded equi-joins
     (shuffle on band key only — never the O(n²) cross join)."""
-    grams = char_3grams(F.col("text"))
-    sigs = _duped(spark, sf_dir).select(
-        "doc_id",
-        *[_minhash_col(grams, k).alias(f"mh_{k}") for k in range(_N_MINHASH)],
+    g = F.col("__g")
+    sigs = (
+        _duped(spark, sf_dir)
+        .withColumn("__norm", norm_text(F.col("text")))
+        .withColumn("__g", char_3grams(F.col("__norm")))
+        .select(
+            "doc_id",
+            *[_minhash_col(g, k).alias(f"mh_{k}") for k in range(_N_MINHASH)],
+        )
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     p1 = a.join(
@@ -408,8 +420,10 @@ def d5_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard similarity over adjacent doc pairs (the pairing is
     a stand-in for LSH candidates; the measure is the operator under
     test)."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", char_3grams(F.col("text")).alias("g")
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("__norm", norm_text(F.col("text")))
+        .select("doc_id", char_3grams(F.col("__norm")).alias("g"))
     )
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
