@@ -73,6 +73,8 @@ class EngineConfig:
     salt_threshold: int = 100_000
     bloom_shards: int = 8
     bloom_min_known: int = 200_000  # below this an exact anti-join is cheaper
+    bloom_bits_per_key: int = 10
+    bloom_growth: int = 4  # headroom factor when sizing/rebuilding shards
     compact_every: int = 8  # rounds between frontier base materializations
     fetch_partitions: int | None = None  # default: spark.sql.shuffle.partitions
     snapshot_partitions: int = 8  # files per compacted base (local default)
@@ -308,6 +310,89 @@ class CrawlEngine:
         df = self.store.read_deltas(self.spark, "images", up_to_round)
         return df if df is not None else self.spark.createDataFrame([], schemas.IMAGES)
 
+    # -- bloom shard maintenance ------------------------------------------
+
+    def current_bloom(self, r: int) -> DataFrame | None:
+        """Latest committed bitset per shard as of round ``r`` (bloom
+        deltas are append-only like everything else; each row carries the
+        ``covers`` round it was built through)."""
+        rows = self.store.read_deltas(self.spark, "bloom", r)
+        if rows is None:
+            return None
+        w = Window.partitionBy("shard_id").orderBy(F.desc("covers"))
+        return (
+            rows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _maintain_bloom(
+        self, r: int, known_hashes: DataFrame, use_bloom: bool, last_metrics: dict
+    ):
+        """Incremental seen-filter maintenance (north_rule: seen-filter
+        shards checkpoint to snapshots). Once active, a round re-ORs ONLY
+        the shards touched by known deltas since the last build
+        (``bloom.or_shards``) and appends just those rows as a bloom
+        delta; a full rebuild happens only on first activation or when
+        the key count outgrows the fixed bit width (capacity check).
+        Returns (shards_for_probe, write_info|None, metrics_patch)."""
+        if not use_bloom:
+            return None, None, {}
+        spark, store, cfg = self.spark, self.store, self.cfg
+        n_known_prev = last_metrics.get("n_known") or 0
+        prev_covers = last_metrics.get("bloom_covers")
+        prev_bits = last_metrics.get("bloom_n_bits")
+        capacity = (
+            None
+            if prev_bits is None
+            else prev_bits * cfg.bloom_shards // cfg.bloom_bits_per_key
+        )
+        meta: dict = {}
+        full_build = prev_covers is None or (
+            capacity is not None and n_known_prev > capacity
+        )
+        if full_build:
+            # full (re)build, sized with growth headroom so subsequent
+            # rounds stay incremental
+            want = cfg.bloom_growth * cfg.bloom_bits_per_key * max(1, n_known_prev)
+            n_bits = 1 << max(12, (want // cfg.bloom_shards)).bit_length()
+            delta_df = bloom.build_shards(
+                known_hashes, cfg.bloom_shards, n_bits=n_bits
+            ).withColumn("covers", F.lit(r - 1))
+            meta["bloom_rebuilds"] = last_metrics.get("bloom_rebuilds", 0) + 1
+        else:
+            n_bits = prev_bits
+            current = self.current_bloom(r - 1)
+            fresh = store.read_deltas(spark, "known", r - 1, from_round=prev_covers + 1)
+            meta["bloom_rebuilds"] = last_metrics.get("bloom_rebuilds", 0)
+            if fresh is None:
+                return (
+                    current,
+                    None,
+                    {"bloom_covers": prev_covers, "bloom_n_bits": n_bits, **meta},
+                )
+            fresh_hashes = fresh.select(
+                url_hash(F.col("canonical_url")).alias("url_hash")
+            )
+            dirty = bloom.build_shards(fresh_hashes, cfg.bloom_shards, n_bits=n_bits)
+            delta_df = bloom.or_shards(current.drop("covers"), dirty).withColumn(
+                "covers", F.lit(r - 1)
+            )
+        info = store.write_delta(delta_df, "bloom", r)
+        written = spark.read.parquet(info["path"])
+        if full_build:
+            shards = written
+        else:
+            untouched = self.current_bloom(r - 1).join(
+                written.select("shard_id"), "shard_id", "left_anti"
+            )
+            shards = untouched.unionByName(written)
+        return (
+            shards.drop("covers"),
+            info,
+            {"bloom_covers": r - 1, "bloom_n_bits": n_bits, **meta},
+        )
+
     # -- one round -------------------------------------------------------
 
     def run_round(self, r: int) -> dict:
@@ -368,16 +453,19 @@ class CrawlEngine:
         )
         links = robots_gate(links, robots).drop("path", "dirty_url")
         links = links.withColumn("url_hash", url_hash(F.col("canonical_url")))
+        # the exact anti-join backstop keys on (url_hash, canonical_url):
+        # the hash co-partitions cheaply, the URL string makes 64-bit
+        # collisions unable to drop a distinct new URL at 10^10 scale
         known_hashes = self.known(r - 1).select(
-            url_hash(F.col("canonical_url")).alias("url_hash")
+            url_hash(F.col("canonical_url")).alias("url_hash"), "canonical_url"
         )
         use_bloom = n_known_prev is not None and n_known_prev >= cfg.bloom_min_known
-        shards = (
-            bloom.build_shards(known_hashes, cfg.bloom_shards) if use_bloom else None
+        shards, bloom_info, bloom_meta = self._maintain_bloom(
+            r, known_hashes, use_bloom, last_metrics
         )
-        links = bloom.anti_join_seen(spark, links, known_hashes, shards).drop(
-            "url_hash"
-        )
+        links = bloom.anti_join_seen(
+            spark, links, known_hashes, shards, n_shards=cfg.bloom_shards
+        ).drop("url_hash")
         new_entries = (
             first_seen_wins(links)
             .select(
@@ -461,6 +549,8 @@ class CrawlEngine:
             row["count"] for row in kind_host if row["kind"] == "detail"
         )
         infos = [store.write_delta(log, "fetch_log", r)]
+        if bloom_info is not None:
+            infos.append(bloom_info)
         if sum(new_per_host.values()) > 0:
             infos.append(store.write_delta(new_entries, "known", r))
         if n_detail > 0 and cfg.image_stage_enabled:
@@ -511,6 +601,7 @@ class CrawlEngine:
                 for h in {row["host"] for row in kind_host}
             },
             "timings": timings,
+            **bloom_meta,
         }
         store.commit_round(r, infos, metrics)
         fetched.unpersist()

@@ -27,6 +27,73 @@ def simplify_umlauts(col: Column) -> Column:
     return F.regexp_replace(s, "ß", "ss")
 
 
+def standardize_characters(col: Column, separator: str = "_") -> Column:
+    """Forward normalization for file keys (reference
+    string_utils.py:19-30): lowercase, spaces→separator, accents→ascii,
+    ä/ö/ü/ß→ae/oe/ue/ss. Inverse (modulo accents) of
+    ``german_characters``."""
+    s = F.lower(col)
+    s = F.regexp_replace(s, " ", separator)
+    s = F.regexp_replace(s, "ä", "ae")
+    s = F.regexp_replace(s, "ö", "oe")
+    s = F.regexp_replace(s, "ü", "ue")
+    s = F.regexp_replace(s, "ß", "ss")
+    s = F.regexp_replace(s, "æ", "ae")
+    return F.translate(
+        s, "ãõáéíóúçàèìòùâêîôûëïñīåøÿšýşğ", "aoaeioucaeiouaeioueiniaoysysg"
+    )
+
+
+def german_characters(col: Column) -> Column:
+    """Reverse transliteration: ``_``→space, ae→ä, oe→ö, ue→ü, and
+    ss→ß EXCEPT for Düsseldorf (reference string_utils.py:12-17 applies
+    the ß rule only when the restored word is not 'Düsseldorf')."""
+    s = F.regexp_replace(col, "_", " ")
+    s = F.regexp_replace(s, "ae", "ä")
+    s = F.regexp_replace(s, "oe", "ö")
+    s = F.regexp_replace(s, "ue", "ü")
+    return F.when(F.lower(s) == "düsseldorf", s).otherwise(
+        F.regexp_replace(s, "ss", "ß")
+    )
+
+
 def capitalize_city(col: Column) -> Column:
-    """City-name capitalization (reference string_utils.py:32-48)."""
-    return F.initcap(col)
+    """City-name capitalization (reference string_utils.py:32-48): for
+    exactly-3-word names capitalize only the first and last word and
+    leave the middle untouched ('Frankfurt am Main', 'Rio de Janeiro');
+    otherwise capitalize every word. F.initcap alone gets the 3-word
+    case wrong ('Frankfurt Am Main')."""
+    words = F.split(col, " ")
+    three = F.concat_ws(
+        " ",
+        F.initcap(F.element_at(words, 1)),
+        F.element_at(words, 2),
+        F.initcap(F.element_at(words, 3)),
+    )
+    return F.when(F.size(words) == 3, three).otherwise(F.initcap(col))
+
+
+def simplify_address(col: Column) -> Column:
+    """Address canonicalization (reference string_utils.py:50-68):
+    '<street-words> <houseN>, <city> <neighborhood...>' →
+    '<Street> <houseN>, <Neighborhood>, <City>' with per-word
+    capitalization and the 'str ' → 'straße ' expansion. Same split /
+    first-digit-run / first-nondigit-run semantics as the reference,
+    expressed as one native column expression."""
+    parts = F.split(col, ",")
+    street_house = F.element_at(parts, 1)
+    street = F.initcap(F.trim(F.regexp_extract(street_house, r"(\D+)", 1)))
+    house_n = F.regexp_extract(street_house, r"(\d+)", 1)
+    cn = F.split(F.element_at(parts, 2), " ")
+    # element 1 is the empty string before the leading space (reference
+    # indexes [1] for city, [2:] for neighborhood)
+    city = F.initcap(F.element_at(cn, 2))
+    neigh = F.initcap(F.concat_ws(" ", F.slice(cn, 3, F.greatest(F.size(cn) - 2, F.lit(0)))))
+    assembled = F.concat_ws(
+        ", ", F.concat_ws(" ", street, house_n), F.concat_ws(", ", neigh, city)
+    )
+    # the reference assembles then post-fixes: 'str ' → 'straße ',
+    # ' ,' → ',', collapse double spaces, trim
+    assembled = F.replace(assembled, F.lit("str "), F.lit("straße "))
+    assembled = F.replace(assembled, F.lit(" ,"), F.lit(","))
+    return F.trim(F.replace(assembled, F.lit("  "), F.lit(" ")))

@@ -257,10 +257,13 @@ def w2_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS n_features, CAST(sum(s_suppkey) AS BIGINT) AS feat_sum
       FROM supplier GROUP BY 1, 2
     )
-    SELECT p.c_custkey, floor(p.lat) AS cell_lat, floor(p.lon) AS cell_lon,
+    SELECT p.c_custkey,
+           CAST(floor(p.lat) AS BIGINT) AS cell_lat,
+           CAST(floor(p.lon) AS BIGINT) AS cell_lon,
            g.n_features, g.feat_sum
     FROM pts p LEFT JOIN grid g
-      ON floor(p.lat) = g.cell_lat AND floor(p.lon) = g.cell_lon
+      ON CAST(floor(p.lat) AS BIGINT) = g.cell_lat
+     AND CAST(floor(p.lon) AS BIGINT) = g.cell_lon
     """,
 )
 def j3_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -244,6 +244,219 @@ def e4_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# "X Minuten/Stunden/Tage ago" label → publication timestamp, with the
+# reference's midnight rollover (crawl_wggesucht.py:391-428 and its twin
+# utils.py:527-562): minutes/seconds → capture hour, hours → capture
+# hour minus diff (negative wraps to the previous day), days → capture
+# date minus diff with NULL hour, absolute "am DD.MM.YYYY" → parsed
+# date with NULL hour.
+_REL_LABEL_SQL = """
+    CASE event_id % 5
+      WHEN 0 THEN concat(1 + event_id % 59, ' Minuten')
+      WHEN 1 THEN concat(1 + event_id % 23, ' Stunden')
+      WHEN 2 THEN concat(1 + event_id % 5, ' Tagen')
+      WHEN 3 THEN concat('am ', strftime(ts::DATE - 40, '%d.%m.%Y'))
+      ELSE concat(event_id % 60, ' Sekunden')
+    END
+"""
+
+
+@query(
+    "e6_relative_time",
+    oracle=f"""
+    WITH lbl AS (
+      SELECT event_id, ts, {_REL_LABEL_SQL} AS published_label
+      FROM events
+    ), resolved AS (
+    SELECT event_id, published_label,
+           CASE
+             WHEN published_label LIKE '%Minut%' OR published_label LIKE '%Sekund%'
+               THEN ts::DATE
+             WHEN published_label LIKE '%Stund%' THEN
+               CASE WHEN hour(ts) - CAST(regexp_extract(published_label, '[0-9]+') AS INT) < 0
+                    THEN ts::DATE - 1 ELSE ts::DATE END
+             WHEN published_label LIKE '%Tag%'
+               THEN ts::DATE - CAST(regexp_extract(published_label, '[0-9]+') AS INT)
+             ELSE strptime(string_split(published_label, ' ')[2], '%d.%m.%Y')::DATE
+           END AS pub_date_d,
+           CASE
+             WHEN published_label LIKE '%Minut%' OR published_label LIKE '%Sekund%'
+               THEN CAST(hour(ts) AS INT)
+             WHEN published_label LIKE '%Stund%' THEN
+               CAST(CASE WHEN hour(ts) - CAST(regexp_extract(published_label, '[0-9]+') AS INT) < 0
+                    THEN hour(ts) - CAST(regexp_extract(published_label, '[0-9]+') AS INT) + 24
+                    ELSE hour(ts) - CAST(regexp_extract(published_label, '[0-9]+') AS INT) END AS INT)
+             ELSE NULL
+           END AS pub_hour
+    FROM lbl
+    )
+    SELECT event_id, published_label,
+           strftime(pub_date_d, '%Y-%m-%d') AS pub_date, pub_hour
+    FROM resolved
+    """,
+)
+def e6_relative_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-publication-time reconstruction (SURVEY §2.8 date/time;
+    reference crawl_wggesucht.py:391-428 / utils.py:527-562): 'X
+    Minuten/Stunden/Tage' → (date, hour) against the capture timestamp,
+    hours wrapping across midnight, days/absolute labels → NULL hour.
+    One when-chain, no Python."""
+    ev = load(spark, sf_dir, "events")
+    k = F.col("event_id")
+    label = (
+        F.when(k % 5 == 0, F.concat((1 + k % 59).cast("string"), F.lit(" Minuten")))
+        .when(k % 5 == 1, F.concat((1 + k % 23).cast("string"), F.lit(" Stunden")))
+        .when(k % 5 == 2, F.concat((1 + k % 5).cast("string"), F.lit(" Tagen")))
+        .when(
+            k % 5 == 3,
+            F.concat(
+                F.lit("am "),
+                F.date_format(F.date_sub(F.col("ts").cast("date"), 40), "dd.MM.yyyy"),
+            ),
+        )
+        .otherwise(F.concat((k % 60).cast("string"), F.lit(" Sekunden")))
+    )
+    lbl = ev.select("event_id", "ts", label.alias("published_label"))
+    p = F.col("published_label")
+    diff = F.regexp_extract(p, "[0-9]+", 0).cast("int")
+    cap_date = F.col("ts").cast("date")
+    cap_hour = F.hour("ts")
+    is_now = p.contains("Minut") | p.contains("Sekund")
+    rolled = cap_hour - diff < 0
+    pub_date = (
+        F.when(is_now, cap_date)
+        .when(p.contains("Stund"), F.when(rolled, F.date_sub(cap_date, 1)).otherwise(cap_date))
+        .when(p.contains("Tag"), F.date_sub(cap_date, diff))
+        .otherwise(F.to_date(F.element_at(F.split(p, " "), 2), "dd.MM.yyyy"))
+    )
+    pub_hour = (
+        F.when(is_now, cap_hour)
+        .when(
+            p.contains("Stund"),
+            F.when(rolled, cap_hour - diff + 24).otherwise(cap_hour - diff),
+        )
+        .otherwise(F.lit(None))
+        .cast("int")
+    )
+    return lbl.select(
+        "event_id",
+        "published_label",
+        # emit the date as a canonical string: engines disagree on how a
+        # DATE cell stringifies (DuckDB promotes to midnight timestamps)
+        F.date_format(pub_date, "yyyy-MM-dd").alias("pub_date"),
+        pub_hour.alias("pub_hour"),
+    )
+
+
+# DuckDB has no initcap; per-word capitalize via a list lambda
+_CAP_WORD = "concat(upper({w}[1]), lower({w}[2:]))"
+_CAP_ALL = (
+    "list_aggr(list_transform(string_split({e}, ' '), "
+    "w -> concat(upper(w[1]), lower(w[2:]))), 'string_agg', ' ')"
+)
+
+
+def _sql_german_chars(e: str) -> str:
+    restored = f"replace(replace(replace(replace({e}, '_', ' '), 'ae', 'ä'), 'oe', 'ö'), 'ue', 'ü')"
+    return (
+        f"CASE WHEN lower({restored}) = 'düsseldorf' THEN {restored} "
+        f"ELSE replace({restored}, 'ss', 'ß') END"
+    )
+
+
+def _sql_capitalize_city(e: str) -> str:
+    cap1 = _CAP_WORD.format(w=f"string_split({e}, ' ')[1]")
+    cap3 = _CAP_WORD.format(w=f"string_split({e}, ' ')[3]")
+    mid = f"string_split({e}, ' ')[2]"
+    return (
+        f"CASE WHEN len(string_split({e}, ' ')) = 3 "
+        f"THEN concat({cap1}, ' ', {mid}, ' ', {cap3}) "
+        f"ELSE {_CAP_ALL.format(e=e)} END"
+    )
+
+
+_CITY_KEYS = [
+    "berlin",
+    "muenchen",
+    "stuttgart",
+    "koeln",
+    "duesseldorf",
+    "frankfurt_am_main",
+    "goettingen",
+    "muenster",
+    "nuernberg",
+    "tuebingen",
+    "wuerzburg",
+    "rio_de_janeiro",
+]
+
+
+_E7_CITY_CASE = " ".join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(_CITY_KEYS))
+_E7_STREET = _CAP_ALL.format(
+    e="trim(regexp_extract(string_split(address, ',')[1], '(\\D+)', 1))"
+)
+_E7_HOUSE = "regexp_extract(string_split(address, ',')[1], '(\\d+)', 1)"
+_E7_NEIGH = _CAP_ALL.format(
+    e="array_to_string(string_split(string_split(address, ',')[2], ' ')[3:], ' ')"
+)
+_E7_CITY = _CAP_WORD.format(w="string_split(string_split(address, ',')[2], ' ')[2]")
+
+
+@query(
+    "e7_city_normalize",
+    oracle=f"""
+    WITH src AS (
+      SELECT c_custkey,
+             CASE c_custkey % {len(_CITY_KEYS)}
+               {_E7_CITY_CASE}
+             END AS city_key,
+             concat('hauptstr ', 1 + c_custkey % 200, ', berlin mitte west')
+               AS address
+      FROM customer
+    ),
+    restored AS (
+      SELECT c_custkey, city_key,
+             {_sql_german_chars("city_key")} AS city_restored, address
+      FROM src
+    )
+    SELECT c_custkey, city_key,
+           {_sql_capitalize_city("city_restored")} AS city_display,
+           trim(replace(replace(replace(concat(
+             concat({_E7_STREET}, ' ', {_E7_HOUSE}),
+             ', ',
+             concat({_E7_NEIGH}, ', ', {_E7_CITY})
+           ), 'str ', 'straße '), ' ,', ','), '  ', ' ')) AS address_simple
+    FROM restored
+    """,
+)
+def e7_city_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse string normalization family (reference
+    string_utils.py:12-68): german_characters (ae→ä with the Düsseldorf
+    ss→ß exception), capitalize_city_name's 3-word rule ('Frankfurt am
+    Main' keeps 'am' lowercase), and simplify_address — over the
+    reference's own city list (params.py:41-67)."""
+    from .functions.strings import capitalize_city, german_characters, simplify_address
+
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    city_key = F.when(F.lit(False), "")
+    for i, name in enumerate(_CITY_KEYS):
+        city_key = city_key.when(k % len(_CITY_KEYS) == i, name)
+    address = F.concat(
+        F.lit("hauptstr "), (1 + k % 200).cast("string"), F.lit(", berlin mitte west")
+    )
+    src = c.select(
+        "c_custkey", city_key.alias("city_key"), address.alias("address")
+    )
+    restored = german_characters(F.col("city_key"))
+    return src.select(
+        "c_custkey",
+        "city_key",
+        capitalize_city(restored).alias("city_display"),
+        simplify_address(F.col("address")).alias("address_simple"),
+    )
+
+
 @query(
     "e5_umlaut_normalize",
     oracle=f"""
