@@ -1,0 +1,385 @@
+"""Chained dedup / similarity pipelines (round-2 VERDICT items 5+7):
+the candidate-generation stages (d3's MinHash-LSH bands, s2's
+hyperplane buckets, multi-band Hamming) feed their REAL candidates into
+the verification measures (Jaccard, cosine, Hamming) and a keeper
+selection — no synthetic `doc_id+1` pairings anywhere. Plans contain
+only banded equi-joins; never an all-pairs cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import load, query
+from .queries_ml import (
+    _3GRAMS_SQL,
+    _cos_sql,
+    _DUPED_SQL,
+    _duped,
+    _md5int_sql,
+    _minhash_col,
+    _minhash_sql,
+    _N_MINHASH,
+    _NORM_SQL,
+    _bucket_col,
+    _bucket_sql,
+    char_3grams,
+    cosine,
+    md5int,
+    norm_text,
+)
+
+# ---------------------------------------------------------------------------
+# d7 — the full text-dedup pipeline: corpus (+planted exact AND mutated
+# near-dups) → minhash sigs → banded LSH candidates → n-gram Jaccard
+# verification → keeper assignment. Replaces d5's synthetic pairing.
+# ---------------------------------------------------------------------------
+
+# mutated near-copies: a fixed German tail appended to every 15th doc —
+# high-but-not-1.0 Jaccard, so the verify stage does real work
+_MUT_SQL = f"""
+      {_DUPED_SQL}
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' sofort verfuegbar provisionsfrei'
+      FROM documents WHERE doc_id % 15 = 0
+"""
+
+
+def _mut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _duped(spark, sf_dir)
+    m = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 15 == 0)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" sofort verfuegbar provisionsfrei")).alias(
+                "text"
+            ),
+        )
+    )
+    return d.unionByName(m)
+
+
+_SIGS_SQL = f"""
+    corpus AS ({_MUT_SQL}),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{_minhash_sql(k)} AS mh_{k}" for k in range(_N_MINHASH))}
+      FROM corpus
+    ),
+    cands AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a JOIN sigs b
+          ON a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1 AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a JOIN sigs b
+          ON a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3 AND a.doc_id < b.doc_id
+      )
+    ),
+    grams AS (SELECT doc_id, {_3GRAMS_SQL} AS g FROM corpus),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(ga.g, gb.g))::DOUBLE
+               / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jac
+      FROM cands c
+      JOIN grams ga ON ga.doc_id = c.doc_a
+      JOIN grams gb ON gb.doc_id = c.doc_b
+    )
+"""
+
+
+@query(
+    "d7_dedup_pipeline",
+    oracle=f"""
+    WITH {_SIGS_SQL}
+    SELECT doc_b AS dup_id, min(doc_a) AS keeper,
+           count(*) AS n_candidate_links,
+           round(max(jac) + 1e-9, 4) AS best_jaccard
+    FROM verified
+    WHERE jac >= 0.6
+    GROUP BY doc_b
+    """,
+)
+def d7_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END text dedup: MinHash signatures → banded LSH candidate
+    pairs (d3) → n-gram Jaccard verification of THOSE candidates (d5's
+    measure, real pipeline wiring) → keeper = min doc_id per duplicate.
+    Catches both planted exact copies (jaccard 1.0) and mutated
+    near-copies. The plan's only joins are the two band equi-joins and
+    two doc_id equi-joins for the gram lookup — O(n) shuffles, no
+    all-pairs anywhere."""
+    corpus = _mut(spark, sf_dir)
+    g = F.col("__g")
+    sigs = (
+        corpus.withColumn("__norm", norm_text(F.col("text")))
+        .withColumn("__g", char_3grams(F.col("__norm")))
+        .select(
+            "doc_id",
+            *[_minhash_col(g, k).alias(f"mh_{k}") for k in range(_N_MINHASH)],
+        )
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    band1 = a.join(
+        b,
+        (F.col("a.mh_0") == F.col("b.mh_0"))
+        & (F.col("a.mh_1") == F.col("b.mh_1"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    band2 = a.join(
+        b,
+        (F.col("a.mh_2") == F.col("b.mh_2"))
+        & (F.col("a.mh_3") == F.col("b.mh_3"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    cands = band1.unionByName(band2).distinct()
+
+    grams = corpus.withColumn("__norm", norm_text(F.col("text"))).select(
+        "doc_id", char_3grams(F.col("__norm")).alias("g")
+    )
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    inter = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g")))
+    verified = (
+        cands.join(ga, F.col("ga.doc_id") == F.col("doc_a"))
+        .join(gb, F.col("gb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter.cast("double")
+                / (F.size(F.col("ga.g")) + F.size(F.col("gb.g")) - inter)
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.6)
+    )
+    return verified.groupBy(F.col("doc_b").alias("dup_id")).agg(
+        F.min("doc_a").alias("keeper"),
+        F.count("*").alias("n_candidate_links"),
+        F.round(F.max("jac") + F.lit(1e-9), 4).alias("best_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s3 — ANN-bucket near-dup: s2's hyperplane buckets generate the
+# candidates, d6's cosine verifies them (real wiring, full corpus)
+# ---------------------------------------------------------------------------
+
+# planted embedding clones: exact (vec_id+1e6) and perturbed (vec_id+2e6)
+_EMB_SQL = """
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+      UNION ALL
+      SELECT vec_id + 2000000,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> embedding[i]::DOUBLE * 1.01)
+      FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    # uniform scaling keeps cosine exactly 1.0 bucket-stable; the double
+    # cast matches the SQL twin element-wise
+    pert = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 25 == 0)
+        .select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.size("embedding")),
+                lambda i: F.element_at(F.col("embedding"), i).cast("double") * 1.01,
+            ).alias("embedding"),
+        )
+    )
+    return e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")).unionByName(exact.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))).unionByName(pert)
+
+
+@query(
+    "s3_ann_near_dup",
+    oracle=f"""
+    WITH corpus0 AS ({_EMB_SQL}),
+    corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+      FROM corpus0
+    ),
+    bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+      FROM corpus
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(({_cos_sql("a.embedding", "b.embedding")}) + 1e-9, 4) AS cos_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.999
+    """,
+)
+def s3_ann_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection at corpus scale: s2's random-
+    hyperplane LSH buckets generate candidates (equi-join on bucket —
+    clones land in the same bucket because sign(w·x) is scale-
+    invariant), d6's cosine verifies them. No cross join; the planted
+    exact and uniformly-scaled clones are exactly the pairs that
+    survive."""
+    e = _emb(spark, sf_dir)
+    bucketed = e.select("vec_id", "embedding", _bucket_col(F.col("embedding")).alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cs = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cs.alias("cs"),
+        )
+        .filter(F.col("cs") >= 0.999)
+        .select("vec_a", "vec_b", F.round(F.col("cs") + F.lit(1e-9), 4).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# m2 — multi-band Hamming near-dup over an int64 phash column (the
+# input_hint's phash), SQL-verifiable; the perceptual-hash PRODUCTION of
+# that column from real pixels stays covered by m1 + crawl parity
+# ---------------------------------------------------------------------------
+
+_N_BANDS = 4
+_BAND_BITS = 15  # md5int is 60 bits → 4 disjoint 15-bit bands
+# 3 planted bit flips — at most 3 bands dirty, ≥1 band always intact
+_FLIP = (1 << 3) | (1 << 17) | (1 << 33)
+
+_PHASH_SQL = f"""
+      SELECT doc_id AS image_key, {_md5int_sql("doc_id::VARCHAR")} AS phash
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, xor({_md5int_sql("doc_id::VARCHAR")}, {_FLIP})
+      FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("image_key"),
+        md5int(F.col("doc_id").cast("string")).alias("phash"),
+    )
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("image_key"),
+        md5int(F.col("doc_id").cast("string"))
+        .bitwiseXOR(F.lit(_FLIP))
+        .alias("phash"),
+    )
+    return base.unionByName(planted)
+
+
+def _bands_sql(h: str) -> list[str]:
+    return [
+        f"(({h} >> {k * _BAND_BITS}) & {(1 << _BAND_BITS) - 1})"
+        for k in range(_N_BANDS)
+    ]
+
+
+@query(
+    "m2_phash_near_dup",
+    oracle=f"""
+    WITH imgs AS ({_PHASH_SQL}),
+    cands AS (
+      SELECT DISTINCT img_a, img_b, ph_a, ph_b FROM (
+        {" UNION ALL ".join(
+            f'''SELECT a.image_key AS img_a, b.image_key AS img_b,
+                       a.phash AS ph_a, b.phash AS ph_b
+                FROM imgs a JOIN imgs b
+                  ON {ba} = {bb} AND a.image_key < b.image_key'''
+            for ba, bb in zip(_bands_sql("a.phash"), _bands_sql("b.phash"))
+        )}
+      )
+    )
+    SELECT img_a, img_b, bit_count(xor(ph_a, ph_b)) AS hamming
+    FROM cands
+    WHERE bit_count(xor(ph_a, ph_b)) <= 8
+    """,
+)
+def m2_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup scan, scale path: 4 disjoint 15-bit LSH
+    bands (≤3 flipped bits can dirty at most 3 bands, so recall is
+    guaranteed and no single band carries the whole corpus — the
+    round-1 single-top-byte band both under-recalled and skewed), then
+    exact Hamming via bit_count(xor). All JVM-side."""
+    imgs = _phash_table(spark, sf_dir)
+    a, b = imgs.alias("a"), imgs.alias("b")
+
+    def band(col, k):
+        return F.shiftrightunsigned(col, k * _BAND_BITS).bitwiseAND(
+            F.lit((1 << _BAND_BITS) - 1)
+        )
+
+    parts = []
+    for k in range(_N_BANDS):
+        parts.append(
+            a.join(
+                b,
+                (band(F.col("a.phash"), k) == band(F.col("b.phash"), k))
+                & (F.col("a.image_key") < F.col("b.image_key")),
+            ).select(
+                F.col("a.image_key").alias("img_a"),
+                F.col("b.image_key").alias("img_b"),
+                F.col("a.phash").alias("ph_a"),
+                F.col("b.phash").alias("ph_b"),
+            )
+        )
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    cands = cands.distinct()
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cands.select("img_a", "img_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= 8
+    )
+
+
+@query("m3_phash_image_near_dup", oracle=None)
+def m3_phash_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same multi-band Hamming scan over REAL perceptual hashes
+    produced by the Arrow image stage (numpy DCT phash of synthesized
+    pixels — not expressible in SQL, hence rows-only; the phash values
+    themselves are verified bit-exact by m1 and crawl parity)."""
+    from .queries_multimodal import _image_table
+
+    imgs = _image_table(spark, sf_dir).select(
+        F.col("image_id").alias("image_key"), "phash"
+    )
+    a, b = imgs.alias("a"), imgs.alias("b")
+
+    def band(col, k):
+        return F.shiftrightunsigned(col, k * 16).bitwiseAND(F.lit(0xFFFF))
+
+    parts = []
+    for k in range(4):
+        parts.append(
+            a.join(
+                b,
+                (band(F.col("a.phash"), k) == band(F.col("b.phash"), k))
+                & (F.col("a.image_key") < F.col("b.image_key")),
+            ).select(
+                F.col("a.image_key").alias("img_a"),
+                F.col("b.image_key").alias("img_b"),
+                F.col("a.phash").alias("ph_a"),
+                F.col("b.phash").alias("ph_b"),
+            )
+        )
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cands.distinct()
+        .select("img_a", "img_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 16)
+    )

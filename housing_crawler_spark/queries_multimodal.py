@@ -4,7 +4,10 @@ metadata, decoded/feature-extracted inside Arrow-batched UDF stages.
 These queries carry no SQL oracle (binary codecs aren't expressible in
 ANSI SQL) → the driver records the weaker rows-only check; the strong
 correctness evidence is tests/test_crawl_parity.py (byte-identical
-images vs the simulator) and the PSNR/lossless invariants below.
+images vs the simulator) and the PSNR/lossless invariants below. The
+banded-Hamming near-dup scan over phash lives in queries_ml2.py:
+m2_phash_near_dup (SQL-verifiable planted hashes) and
+m3_phash_image_near_dup (real image hashes from this table).
 
 The image table is synthesized deterministically from doc_ids (pure
 function of seed — no external data), at the exact BASELINE.json
@@ -105,31 +108,4 @@ def m1_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
         F.round(F.avg("psnr_db"), 2).alias("avg_psnr_db"),
         F.round(F.avg("n_pixels"), 1).alias("avg_pixels"),
-    )
-
-
-@query("m2_phash_near_dup", oracle=None)
-def m2_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-dup scan: band on the top phash byte (LSH-
-    style prefix bucket), then exact Hamming distance via
-    bit_count(xor) — all JVM-side once phash is materialized."""
-    imgs = _image_table(spark, sf_dir).select("image_id", "phash")
-    banded = imgs.withColumn(
-        "band", F.shiftrightunsigned(F.col("phash"), 56).cast("int")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.image_id") < F.col("b.image_id")),
-        )
-        .select(
-            F.col("a.image_id").alias("img_a"),
-            F.col("b.image_id").alias("img_b"),
-            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
-                "hamming"
-            ),
-        )
-        .filter(F.col("hamming") <= 16)
     )
