@@ -40,6 +40,9 @@ HEADLINE = [
     "d2_minhash_signatures",
     "d4_simhash",
     "s2_ann_lsh_bucketed",
+    "etl6_impute",  # the full 6-stage ETL chain
+    "d7_dedup_pipeline",  # LSH candidates → Jaccard verify → keeper
+    "m2_phash_near_dup",  # 4-band Hamming near-dup
 ]
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .queries import load, query
 from .queries_ml import (
@@ -61,30 +62,65 @@ def _mut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(m)
 
 
-_SIGS_SQL = f"""
+# Signature scheme: ONE md5 pass hashes each distinct 3-gram to int64;
+# the 8 "permutations" are xor-mixes of that hash with fixed constants
+# (min over xor(h, C_k) — cheap, portable, identical gram sets give
+# identical signatures). 2 bands x 4 rows: band-collision probability
+# ~jaccard^4 keeps false candidates down.
+#
+# Scale shape: within a band bucket we do NOT emit all pairs (the
+# corpus is template-heavy, so bucket sizes ~40 make all-pairs
+# quadratic — measured 188s at sf0.1 and it only gets worse at 100x).
+# Instead every doc links to its bucket's MIN doc_id (star-to-
+# representative, linear in bucket size), takes the smallest candidate
+# keeper across bands, and verifies THAT one link with exact n-gram
+# Jaccard. Keeper assignment is single-pass (transitive chains collapse
+# over repeated runs, as in production LSH dedup).
+_D7_PERMS = 8
+
+
+def _perm_consts() -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"perm:{k}".encode()).hexdigest()[:15], 16)
+        for k in range(_D7_PERMS)
+    ]
+
+
+_C = _perm_consts()
+_GH_SQL = (
+    f"list_distinct(list_transform({_3GRAMS_SQL}, s -> {_md5int_sql('s')}))"
+)
+_SIG_SQL = ", ".join(
+    f"list_aggregate(list_transform(g, h -> xor(h, {_C[k]})), 'min') AS mh_{k}"
+    for k in range(_D7_PERMS)
+)
+_B1_KEY = ", ".join(f"mh_{k}" for k in range(0, 4))
+_B2_KEY = ", ".join(f"mh_{k}" for k in range(4, 8))
+
+_D7_CHAIN_SQL = f"""
     corpus AS ({_MUT_SQL}),
-    sigs AS (
-      SELECT doc_id,
-             {", ".join(f"{_minhash_sql(k)} AS mh_{k}" for k in range(_N_MINHASH))}
-      FROM corpus
+    grams AS (SELECT doc_id, {_GH_SQL} AS g FROM corpus),
+    sigs AS (SELECT doc_id, g, {_SIG_SQL} FROM grams),
+    starred AS (
+      SELECT doc_id, g,
+             min(doc_id) OVER (PARTITION BY {_B1_KEY}) AS bmin_1,
+             min(doc_id) OVER (PARTITION BY {_B2_KEY}) AS bmin_2
+      FROM sigs
     ),
     cands AS (
-      SELECT DISTINCT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a JOIN sigs b
-          ON a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1 AND a.doc_id < b.doc_id
-        UNION ALL
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a JOIN sigs b
-          ON a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3 AND a.doc_id < b.doc_id
-      )
+      SELECT doc_id AS dup_id, g,
+             least(CASE WHEN bmin_1 < doc_id THEN bmin_1 END,
+                   CASE WHEN bmin_2 < doc_id THEN bmin_2 END) AS keeper
+      FROM starred
     ),
-    grams AS (SELECT doc_id, {_3GRAMS_SQL} AS g FROM corpus),
     verified AS (
-      SELECT c.doc_a, c.doc_b,
-             len(list_intersect(ga.g, gb.g))::DOUBLE
-               / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jac
-      FROM cands c
-      JOIN grams ga ON ga.doc_id = c.doc_a
-      JOIN grams gb ON gb.doc_id = c.doc_b
+      SELECT c.dup_id, c.keeper,
+             len(list_intersect(c.g, k.g))::DOUBLE
+               / (len(c.g) + len(k.g) - len(list_intersect(c.g, k.g))) AS jac
+      FROM (SELECT * FROM cands WHERE keeper IS NOT NULL) c
+      JOIN grams k ON k.doc_id = c.keeper
     )
 """
 
@@ -92,70 +128,64 @@ _SIGS_SQL = f"""
 @query(
     "d7_dedup_pipeline",
     oracle=f"""
-    WITH {_SIGS_SQL}
-    SELECT doc_b AS dup_id, min(doc_a) AS keeper,
-           count(*) AS n_candidate_links,
-           round(max(jac) + 1e-9, 4) AS best_jaccard
+    WITH {_D7_CHAIN_SQL}
+    SELECT dup_id, keeper, round(jac + 1e-9, 4) AS jaccard
     FROM verified
     WHERE jac >= 0.6
-    GROUP BY doc_b
     """,
 )
 def d7_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END text dedup: MinHash signatures → banded LSH candidate
-    pairs (d3) → n-gram Jaccard verification of THOSE candidates (d5's
-    measure, real pipeline wiring) → keeper = min doc_id per duplicate.
-    Catches both planted exact copies (jaccard 1.0) and mutated
-    near-copies. The plan's only joins are the two band equi-joins and
-    two doc_id equi-joins for the gram lookup — O(n) shuffles, no
-    all-pairs anywhere."""
+    """END-TO-END text dedup: one-pass gram hashing → 8 xor-mix MinHash
+    permutations → 2x4-row LSH bands → star-to-bucket-representative
+    candidate per doc (linear in bucket size — all-pairs inside
+    template-heavy buckets is quadratic and dies at 100x) → exact
+    n-gram-Jaccard verification of that link → (dup_id, keeper).
+    Catches the planted exact copies and mutated near-copies. Plan:
+    two window mins on the band keys + ONE equi-join to fetch the
+    keeper's gram set; no cross join, no quadratic pair set."""
     corpus = _mut(spark, sf_dir)
-    g = F.col("__g")
-    sigs = (
+    grams = (
         corpus.withColumn("__norm", norm_text(F.col("text")))
-        .withColumn("__g", char_3grams(F.col("__norm")))
         .select(
             "doc_id",
-            *[_minhash_col(g, k).alias(f"mh_{k}") for k in range(_N_MINHASH)],
+            F.array_distinct(
+                F.transform(char_3grams(F.col("__norm")), lambda s: md5int(s))
+            ).alias("g"),
         )
+        .cache()
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    band1 = a.join(
-        b,
-        (F.col("a.mh_0") == F.col("b.mh_0"))
-        & (F.col("a.mh_1") == F.col("b.mh_1"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    band2 = a.join(
-        b,
-        (F.col("a.mh_2") == F.col("b.mh_2"))
-        & (F.col("a.mh_3") == F.col("b.mh_3"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    cands = band1.unionByName(band2).distinct()
-
-    grams = corpus.withColumn("__norm", norm_text(F.col("text"))).select(
-        "doc_id", char_3grams(F.col("__norm")).alias("g")
+    sigs = grams.select(
+        "doc_id",
+        "g",
+        *[
+            F.array_min(
+                F.transform(F.col("g"), (lambda ck: (lambda h: h.bitwiseXOR(F.lit(ck))))(_C[k]))
+            ).alias(f"mh_{k}")
+            for k in range(_D7_PERMS)
+        ],
     )
-    ga, gb = grams.alias("ga"), grams.alias("gb")
-    inter = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g")))
-    verified = (
-        cands.join(ga, F.col("ga.doc_id") == F.col("doc_a"))
-        .join(gb, F.col("gb.doc_id") == F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                inter.cast("double")
-                / (F.size(F.col("ga.g")) + F.size(F.col("gb.g")) - inter)
-            ).alias("jac"),
-        )
+    w1 = Window.partitionBy(*[f"mh_{k}" for k in range(0, 4)])
+    w2 = Window.partitionBy(*[f"mh_{k}" for k in range(4, 8)])
+    starred = sigs.withColumn("bmin_1", F.min("doc_id").over(w1)).withColumn(
+        "bmin_2", F.min("doc_id").over(w2)
+    )
+    doc = F.col("doc_id")
+    cands = starred.select(
+        doc.alias("dup_id"),
+        "g",
+        F.least(
+            F.when(F.col("bmin_1") < doc, F.col("bmin_1")),
+            F.when(F.col("bmin_2") < doc, F.col("bmin_2")),
+        ).alias("keeper"),
+    ).filter(F.col("keeper").isNotNull())
+    k = grams.select(F.col("doc_id").alias("keeper"), F.col("g").alias("kg"))
+    inter = F.size(F.array_intersect(F.col("g"), F.col("kg")))
+    jac = inter.cast("double") / (F.size(F.col("g")) + F.size(F.col("kg")) - inter)
+    return (
+        cands.join(k, "keeper")
+        .select("dup_id", "keeper", jac.alias("jac"))
         .filter(F.col("jac") >= 0.6)
-    )
-    return verified.groupBy(F.col("doc_b").alias("dup_id")).agg(
-        F.min("doc_a").alias("keeper"),
-        F.count("*").alias("n_candidate_links"),
-        F.round(F.max("jac") + F.lit(1e-9), 4).alias("best_jaccard"),
+        .select("dup_id", "keeper", F.round(F.col("jac") + F.lit(1e-9), 4).alias("jaccard"))
     )
 
 
