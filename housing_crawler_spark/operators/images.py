@@ -47,6 +47,14 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 _D8 = _dct_matrix(8)
 _D32 = _dct_matrix(32)
+# float32 twins for the codec hot path: the dctq pipeline is memory-
+# bandwidth-bound at high thread counts (BENCH/BASELINE.md) and halving
+# every intermediate array halves that traffic; quantization error
+# (step=5) dwarfs fp32 rounding so the PSNR>=40 invariant is untouched.
+# The simulator oracle shares these exact functions, so engine<->oracle
+# byte parity is preserved by construction. phash keeps float64 (its
+# integral image overflows fp32's 24-bit mantissa on large images).
+_D8F = _D8.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -65,13 +73,13 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "dctq":
         ph = (-h) % 8
         pw = (-w) % 8
-        padded = np.pad(img.astype(np.float64) - 128.0, ((0, ph), (0, pw)), mode="edge")
+        padded = np.pad(img.astype(np.float32) - np.float32(128.0), ((0, ph), (0, pw)), mode="edge")
         hh, ww = padded.shape
         blocks = np.ascontiguousarray(
             padded.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
         )
         # batched matmul (BLAS) beats einsum's generic contraction ~10x
-        coeffs = _D8 @ blocks @ _D8.T
+        coeffs = _D8F @ blocks @ _D8F.T
         q = np.round(coeffs / DCTQ_STEP).astype(np.int16)
         return b"DCTQ" + head + zlib.compress(q.tobytes(), 1)
     raise ValueError(f"unknown fmt {fmt!r}")
@@ -91,10 +99,10 @@ def decode(buf: bytes) -> tuple[np.ndarray, str]:
     q = (
         np.frombuffer(zlib.decompress(body), np.int16)
         .reshape(hh // 8, ww // 8, 8, 8)
-        .astype(np.float64)
-        * DCTQ_STEP
+        .astype(np.float32)
+        * np.float32(DCTQ_STEP)
     )
-    blocks = _D8.T @ q @ _D8
+    blocks = _D8F.T @ q @ _D8F
     img = blocks.transpose(0, 2, 1, 3).reshape(hh, ww)[:h, :w] + 128.0
     return np.clip(np.round(img), 0, 255).astype(np.uint8), fmt
 

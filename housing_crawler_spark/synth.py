@@ -246,10 +246,13 @@ def gen_image(
     wid = int(rng.integers(lo, hi + 1))
     fx, fy = float(rng.uniform(1, 4)), float(rng.uniform(1, 4))
     phase = float(rng.uniform(0, 2 * np.pi))
-    # separable pattern: one outer product instead of full 2-D trig grids
-    sin_x = np.sin(2 * np.pi * fx * np.arange(wid) / wid + phase)
-    cos_y = np.cos(2 * np.pi * fy * np.arange(hgt) / hgt)
-    img = 128.0 + 60.0 * np.outer(cos_y, sin_x) + rng.normal(0, noise, (hgt, wid))
+    # separable pattern: one outer product instead of full 2-D trig grids;
+    # float32 throughout — generation is part of the bandwidth-bound image
+    # path (BENCH/BASELINE.md) and fp32 noise/trig halves its traffic
+    sin_x = np.sin(2 * np.pi * fx * np.arange(wid) / wid + phase).astype(np.float32)
+    cos_y = np.cos(2 * np.pi * fy * np.arange(hgt) / hgt).astype(np.float32)
+    img = np.float32(128.0) + np.float32(60.0) * np.outer(cos_y, sin_x)
+    img += np.float32(noise) * rng.standard_normal((hgt, wid), dtype=np.float32)
     return np.clip(np.round(img), 0, 255).astype(np.uint8)
 
 
