@@ -37,6 +37,8 @@ _PRIORITY = [
     "e7_city_normalize",
     "d7_dedup_pipeline",
     "s3_ann_near_dup",
+    "s4_ivf_ann",
+    "c2_robots_parse",
     "m2_phash_near_dup",
     "a10_rowwise_mean",
     "w4_rank_groups_by_mean",

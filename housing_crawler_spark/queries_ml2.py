@@ -413,3 +413,136 @@ def m3_phash_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("img_a", "img_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= 16)
     )
+
+
+# ---------------------------------------------------------------------------
+# s4 — IVF ANN: k-means coarse quantizer (2 Lloyd iterations, K=8,
+# deterministic seed = first K vectors), probes search only their cell
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8
+_IVF_ITERS = 2
+
+
+def _sql_assign(base: str, cents: str) -> str:
+    """argmax-cosine cell assignment (rounded similarity + cid tiebreak
+    so FP noise can never flip the winner across engines)."""
+    cos = _cos_sql("b.e", "c.c")
+    return f"""
+      SELECT vec_id, e, cid FROM (
+        SELECT b.vec_id, b.e, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY round(({cos}) + 1e-9, 6) DESC, c.cid) AS rk
+        FROM {base} b CROSS JOIN {cents} c
+      ) WHERE rk = 1
+    """
+
+
+def _sql_recenter(assigned: str) -> str:
+    """element-wise centroid mean, rounded to 4 decimals (+eps) so the
+    next iteration sees IDENTICAL centroids on both engines regardless
+    of each engine's summation order."""
+    return f"""
+      SELECT cid, list(m ORDER BY pos) AS c FROM (
+        SELECT cid, pos, round(avg(v) + 1e-9, 4) AS m FROM (
+          SELECT cid, unnest(e) AS v, generate_subscripts(e, 1) AS pos
+          FROM {assigned}
+        ) GROUP BY cid, pos
+      ) GROUP BY cid
+    """
+
+
+_IVF_SQL = f"""
+    base AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, e AS c FROM base WHERE vec_id < {_IVF_K}),
+    a1 AS ({_sql_assign("base", "c0")}),
+    c1 AS ({_sql_recenter("a1")}),
+    a2 AS ({_sql_assign("base", "c1")}),
+    c2 AS ({_sql_recenter("a2")}),
+    cells AS ({_sql_assign("base", "c2")})
+"""
+
+
+def _df_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    b, c = base.alias("b"), F.broadcast(cents).alias("c")
+    cos = cosine(F.col("b.e"), F.col("c.c"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(cos + F.lit(1e-9), 6)), F.col("cid")
+    )
+    return (
+        b.crossJoin(c)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "e", "cid")
+    )
+
+
+def _df_recenter(assigned: DataFrame) -> DataFrame:
+    exploded = assigned.select("cid", F.posexplode("e").alias("pos", "v"))
+    means = exploded.groupBy("cid", "pos").agg(
+        F.round(F.avg("v") + F.lit(1e-9), 4).alias("m")
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+        ).alias("c")
+    )
+
+
+@query(
+    "s4_ivf_ann",
+    oracle=f"""
+    WITH {_IVF_SQL}
+    SELECT probe_id, neighbor_id, round((cs) + 1e-9, 4) AS sim
+    FROM (
+      SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
+             {_cos_sql("p.e", "x.e")} AS cs,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY round(({_cos_sql("p.e", "x.e")}) + 1e-9, 6) DESC,
+                        x.vec_id) AS rk
+      FROM (SELECT * FROM cells WHERE vec_id < 5) p
+      JOIN cells x ON x.cid = p.cid AND x.vec_id != p.vec_id
+    ) WHERE rk <= 3
+    """,
+)
+def s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN (the other scale path next to s2's LSH):
+    K-means coarse quantizer — deterministic seed (first K vectors),
+    {_IVF_ITERS} Lloyd iterations where assignment is a broadcast
+    cross-join against the K-row centroid dim and re-centering is a
+    posexplode/groupBy mean — then probes scan ONLY their own inverted
+    list (nprobe=1, equi-join on cell id). Rounded similarities +
+    centroid-id tiebreaks make every assignment decision identical
+    across engines despite FP summation-order differences."""
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cents = base.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    for _ in range(_IVF_ITERS):
+        cents = _df_recenter(_df_assign(base, cents))
+    cells = _df_assign(base, cents).cache()
+    p, x = cells.filter(F.col("vec_id") < 5).alias("p"), cells.alias("x")
+    cs = cosine(F.col("p.e"), F.col("x.e"))
+    ranked = (
+        p.join(
+            x,
+            (F.col("x.cid") == F.col("p.cid")) & (F.col("x.vec_id") != F.col("p.vec_id")),
+        )
+        .select(
+            F.col("p.vec_id").alias("probe_id"),
+            F.col("x.vec_id").alias("neighbor_id"),
+            cs.alias("cs"),
+        )
+        .withColumn("rk", F.row_number().over(Window.partitionBy("probe_id").orderBy(
+            F.desc(F.round(F.col("cs") + F.lit(1e-9), 6)), "neighbor_id")))
+        .filter(F.col("rk") <= 3)
+    )
+    return ranked.select(
+        "probe_id", "neighbor_id", F.round(F.col("cs") + F.lit(1e-9), 4).alias("sim")
+    )

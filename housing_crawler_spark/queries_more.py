@@ -204,3 +204,64 @@ def p1_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.percentile("l_extendedprice", F.lit(0.5))) + F.lit(1e-9), 4).alias("p50"),
         F.round((F.percentile("l_extendedprice", F.lit(0.9))) + F.lit(1e-9), 4).alias("p90"),
     )
+
+
+# synthetic robots.txt blobs (same construction both engines): the *
+# block carries host-dependent Disallow/Crawl-delay; a decoy agent
+# block before it must NOT be picked up
+_ROBOTS_TXT_SQL = """
+      SELECT concat('host-', s_suppkey, '.example') AS host,
+             concat(
+               'User-agent: badbot', chr(10), 'Disallow: /', chr(10), chr(10),
+               'User-agent: *', chr(10),
+               CASE WHEN s_suppkey % 3 = 0
+                    THEN concat('Disallow: /private', chr(10))
+                    ELSE '' END,
+               CASE WHEN s_suppkey % 2 = 0
+                    THEN concat('Crawl-delay: ', 3 + s_suppkey % 7, chr(10))
+                    ELSE '' END,
+               'Allow: /'
+             ) AS robots_txt
+      FROM supplier
+"""
+
+
+@query(
+    "c2_robots_parse",
+    oracle=f"""
+    WITH r AS ({_ROBOTS_TXT_SQL}),
+    blk AS (
+      SELECT host,
+             regexp_extract(robots_txt,
+               '(?s)User-agent: \\*\\n(.*?)(\\nUser-agent:|$)', 1) AS b
+      FROM r
+    )
+    SELECT host,
+           regexp_extract(b, 'Disallow: *([^\\n]*)', 1) AS disallow_prefix,
+           coalesce(CAST(nullif(regexp_extract(b, 'Crawl-delay: *([0-9]+)', 1), '') AS INT), 1)
+             AS crawl_delay_s
+    FROM blk
+    """,
+)
+def c2_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt TEXT → per-host gate rules (functions/robots.py):
+    extract the `User-agent: *` block (skipping decoy agent blocks),
+    its first Disallow prefix and Crawl-delay — all regexp exprs, the
+    exact rows operators/frontier.robots_gate + with_budgets consume."""
+    from .functions.robots import parse_robots
+
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    nl = F.lit("\n")
+    txt = F.concat(
+        F.lit("User-agent: badbot\nDisallow: /\n\n"),
+        F.lit("User-agent: *"), nl,
+        F.when(k % 3 == 0, F.concat(F.lit("Disallow: /private"), nl)).otherwise(""),
+        F.when(k % 2 == 0, F.concat(F.lit("Crawl-delay: "), (3 + k % 7).cast("string"), nl)).otherwise(""),
+        F.lit("Allow: /"),
+    )
+    raw = s.select(
+        F.concat(F.lit("host-"), k.cast("string"), F.lit(".example")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    return parse_robots(raw)
