@@ -109,3 +109,131 @@ def m1_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("psnr_db"), 2).alias("avg_psnr_db"),
         F.round(F.avg("n_pixels"), 1).alias("avg_pixels"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio / video columns (operators/media.py; real pcm16/rawv codecs,
+# honest NotImplementedError stubs for compressed formats)
+# ---------------------------------------------------------------------------
+
+
+def _audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic (audio_id, bytes, sample_rate,
+    n_samples, fmt, caption) rows; every 7th row a stub-format ('mp3')
+    payload that exercises the skip path."""
+    from .session import _ship_package
+
+    _ship_package(spark)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _MAX_DOCS)
+        .select("doc_id", F.substring("text", 1, 40).alias("cap"))
+    )
+
+    def gen(it):
+        import numpy as np
+
+        from .operators.media import encode_audio
+
+        for pdf in it:
+            rows = {k: [] for k in ("audio_id", "bytes", "sample_rate", "n_samples", "fmt", "caption")}
+            for doc_id, cap in zip(pdf["doc_id"], pdf["cap"]):
+                seed = synth.h(_WORLD.seed, f"audio:{doc_id}")
+                rng = np.random.Generator(np.random.PCG64(seed))
+                rate = int(rng.choice([8000, 16000]))
+                n = int(rng.integers(rate // 2, rate * 2))
+                t = np.arange(n, dtype=np.float32)
+                f0 = float(rng.uniform(100, 900))
+                x = 8000 * np.sin(2 * np.pi * f0 * t / rate)
+                x += 500 * rng.standard_normal(n, dtype=np.float32)
+                samples = np.clip(x, -32768, 32767).astype(np.int16)
+                stub = doc_id % 7 == 0
+                rows["audio_id"].append(f"aud-{doc_id}")
+                rows["bytes"].append(b"ID3stub" if stub else encode_audio(samples, rate))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(0 if stub else n)
+                rows["fmt"].append("mp3" if stub else "pcm16")
+                rows["caption"].append(synth.clean_caption_py(str(cap)))
+            yield pd.DataFrame(rows)
+
+    from .operators.media import AUDIO_SCHEMA
+
+    return docs.mapInPandas(gen, AUDIO_SCHEMA)
+
+
+def _video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic short clips (rawv codec): frame f =
+    base image shifted brightness — consecutive frames are near-dups,
+    so sampled-frame phashes land in shared bands (feeds m3)."""
+    from .session import _ship_package
+
+    _ship_package(spark)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _MAX_DOCS // 2)
+        .select("doc_id", F.substring("text", 1, 40).alias("cap"))
+    )
+
+    def gen(it):
+        import numpy as np
+
+        from .operators.media import encode_video
+
+        for pdf in it:
+            rows = {k: [] for k in ("video_id", "bytes", "w", "h", "fps", "n_frames", "fmt", "caption")}
+            for doc_id, cap in zip(pdf["doc_id"], pdf["cap"]):
+                pseed = synth.h(_WORLD.seed, f"video:{doc_id}")
+                base = synth.gen_image(pseed, 0, 32, 64, 2.0)
+                n_frames = 6 + pseed % 10
+                frames = np.stack(
+                    [np.clip(base.astype(np.int16) + 3 * f, 0, 255).astype(np.uint8) for f in range(n_frames)]
+                )
+                stub = doc_id % 9 == 0
+                rows["video_id"].append(f"vid-{doc_id}")
+                rows["bytes"].append(b"h264stub" if stub else encode_video(frames, 12.0))
+                rows["w"].append(base.shape[1])
+                rows["h"].append(base.shape[0])
+                rows["fps"].append(12.0)
+                rows["n_frames"].append(0 if stub else n_frames)
+                rows["fmt"].append("h264" if stub else "rawv")
+                rows["caption"].append(synth.clean_caption_py(str(cap)))
+            yield pd.DataFrame(rows)
+
+    from .operators.media import VIDEO_SCHEMA
+
+    return docs.mapInPandas(gen, VIDEO_SCHEMA)
+
+
+@query("m4_audio_features", oracle=None)
+def m4_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads: pcm16 rows
+    get real (duration, rms, zero-crossing, peak); mp3 stub rows flow
+    through with NULL features (rows-only: the codec isn't expressible
+    in SQL; invariants asserted in tests/test_media.py)."""
+    from .operators.media import audio_features
+
+    feats = audio_features(_audio_table(spark, sf_dir))
+    return feats.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("duration_s"), 3).alias("avg_duration_s"),
+        F.round(F.avg("rms"), 1).alias("avg_rms"),
+        F.round(F.avg("zero_cross_rate"), 4).alias("avg_zcr"),
+        F.max("peak").alias("max_peak"),
+    )
+
+
+@query("m5_video_frame_sample", oracle=None)
+def m5_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 5th frame) into the IMAGE table
+    shape + per-frame phash, then a per-video summary. Composes with
+    the image toolchain (the frames are valid m1/m3 inputs)."""
+    from .operators.media import sample_frames
+
+    frames = sample_frames(_video_table(spark, sf_dir), every_k=5)
+    vid = F.regexp_extract("image_id", r"^(vid-\d+)-f", 1)
+    return frames.groupBy(vid.alias("video_id")).agg(
+        F.count("*").alias("n_sampled"),
+        F.countDistinct("phash").alias("n_distinct_phash"),
+        F.min("w").alias("w"),
+        F.min("h").alias("h"),
+    )

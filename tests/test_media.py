@@ -1,0 +1,90 @@
+"""Audio/video multimodal plumbing (operators/media.py): bit-exact
+codec round-trips, feature correctness vs direct numpy, stub formats
+skipping or raising honestly, frame sampling shape/count, and
+composition of sampled frames with the image toolchain."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from housing_crawler_spark.operators import media
+from housing_crawler_spark.operators.images import decode, phash64
+from housing_crawler_spark.queries_multimodal import _audio_table, _video_table
+
+
+def test_pcm16_roundtrip_bit_exact():
+    rng = np.random.Generator(np.random.PCG64(7))
+    x = rng.integers(-32768, 32767, 5000).astype(np.int16)
+    buf = media.encode_audio(x, 16000)
+    y, rate = media.decode_audio(buf, "pcm16")
+    assert rate == 16000 and np.array_equal(x, y)
+
+
+def test_rawv_roundtrip_bit_exact():
+    rng = np.random.Generator(np.random.PCG64(8))
+    frames = rng.integers(0, 256, (7, 24, 36)).astype(np.uint8)
+    buf = media.encode_video(frames, 12.0)
+    got = {i: f for i, f in media.iter_frames(buf, "rawv")}
+    assert len(got) == 7
+    for i in range(7):
+        assert np.array_equal(got[i], frames[i])
+
+
+def test_stub_formats_raise():
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        media.decode_audio(b"ID3xx", "mp3")
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        list(media.iter_frames(b"h264x", "h264"))
+
+
+def test_audio_features_match_numpy(spark, sf_smoke):
+    audio = _audio_table(spark, sf_smoke).filter(F.col("fmt") == "pcm16").limit(20)
+    rows = audio.collect()
+    feats = {
+        r["audio_id"]: r
+        for r in media.audio_features(audio).collect()
+    }
+    assert len(feats) == len(rows)
+    for r in rows:
+        x, rate = media.decode_audio(bytes(r["bytes"]), "pcm16")
+        f = feats[r["audio_id"]]
+        assert f["duration_s"] == pytest.approx(len(x) / rate, abs=1e-5)
+        xf = x.astype(np.float32)
+        assert f["rms"] == pytest.approx(float(np.sqrt(np.mean(xf * xf))), rel=1e-6)
+        assert f["peak"] == int(np.max(np.abs(x.astype(np.int32))))
+
+
+def test_audio_stub_rows_flow_through_with_nulls(spark, sf_smoke):
+    feats = media.audio_features(_audio_table(spark, sf_smoke))
+    stub = feats.filter(F.col("fmt") == "mp3")
+    assert stub.count() > 0
+    assert stub.filter(F.col("rms").isNotNull()).count() == 0
+    real = feats.filter(F.col("fmt") == "pcm16")
+    assert real.filter(F.col("rms").isNull()).count() == 0
+
+
+def test_frame_sampling_count_and_image_compat(spark, sf_smoke):
+    vids = _video_table(spark, sf_smoke).filter(F.col("fmt") == "rawv").limit(10)
+    meta = {r["video_id"]: r for r in vids.select("video_id", "n_frames", "w", "h").collect()}
+    frames = media.sample_frames(vids, every_k=5).collect()
+    by_vid: dict[str, list] = {}
+    for fr in frames:
+        vid = fr["image_id"].rsplit("-f", 1)[0]
+        by_vid.setdefault(vid, []).append(fr)
+    for vid, m in meta.items():
+        got = by_vid[vid]
+        want_n = (m["n_frames"] + 4) // 5  # frames 0,5,10,...
+        assert len(got) == want_n, vid
+        for fr in got:
+            img, fmt = decode(bytes(fr["bytes"]))  # valid image-table row
+            assert fmt == "raw" and img.shape == (m["h"], m["w"])
+            assert phash64(img) == fr["phash"]
+
+
+def test_video_stub_rows_skipped(spark, sf_smoke):
+    vids = _video_table(spark, sf_smoke)
+    assert vids.filter(F.col("fmt") == "h264").count() > 0
+    sampled = media.sample_frames(vids, every_k=5)
+    assert sampled.filter(F.col("image_id").startswith("vid-0-")).count() == 0  # doc 0 is a stub

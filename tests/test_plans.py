@@ -65,3 +65,44 @@ def test_single_shuffle_for_groupby(spark, sf_smoke):
     plan = plan_of(spark, REGISTRY["q1_pricing_summary"].fn(spark, sf_smoke))
     assert plan.count("hashpartitioning(") == 1, plan[:2000]
     assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_smoke):
+    """No registry query may fall back to a cartesian / nested-loop
+    join — banded LSH, bucketed ANN and the grid join must all stay
+    equi-joins (broadcast cross-join vs a K-row centroid dim in s4 is
+    the one sanctioned exception: bounded by K, not data)."""
+    # sanctioned constant-size broadcasts: s4's K=8 centroid dim and the
+    # scalar-stats pattern (1-row aggregate broadcast against the fact
+    # table — the alternative, a window over an unpartitioned frame,
+    # funnels everything through one task)
+    allowed_cross = {"s4_ivf_ann", "a9_standardize", "a12_ttest_ingredients",
+                     "a13_ols_slope", "a15_percentile_of_value",
+                     # brute-force kNN IS the deliberate all-pairs
+                     # baseline (broadcast 5 probes x corpus); s2/s3/s4
+                     # are the scale paths
+                     "s1_knn_bruteforce"}
+    for name, qd in REGISTRY.items():
+        if qd.oracle is None or name in allowed_cross:
+            continue
+        plan = plan_of(spark, qd.fn(spark, sf_smoke))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_etl_chain_is_single_scan_no_shuffle(spark, sf_smoke):
+    """The full 6-stage ETL is embarrassingly parallel until the final
+    id-dedup window: one parquet scan, no exchange before the window's
+    hash partitioning."""
+    import re
+
+    plan = plan_of(spark, REGISTRY["etl6_impute"].fn(spark, sf_smoke))
+    # formatted mode prints each scan twice (tree + details) — count nodes
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "hashpartitioning" not in plan  # stage chain alone: no shuffle
+
+
+def test_d7_joins_are_equi(spark, sf_smoke):
+    plan = plan_of(spark, REGISTRY["d7_dedup_pipeline"].fn(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
