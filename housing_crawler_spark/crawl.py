@@ -75,6 +75,9 @@ class EngineConfig:
     bloom_min_known: int = 200_000  # below this an exact anti-join is cheaper
     bloom_bits_per_key: int = 10
     bloom_growth: int = 4  # headroom factor when sizing/rebuilding shards
+    bloom_compact_every: int = 32  # rounds between full-set bloom deltas
+    # (bounds reconstruction read amplification: current_bloom only reads
+    # deltas back to the last full write)
     compact_every: int = 8  # rounds between frontier base materializations
     fetch_partitions: int | None = None  # default: spark.sql.shuffle.partitions
     snapshot_partitions: int = 8  # files per compacted base (local default)
@@ -312,11 +315,14 @@ class CrawlEngine:
 
     # -- bloom shard maintenance ------------------------------------------
 
-    def current_bloom(self, r: int) -> DataFrame | None:
+    def current_bloom(self, r: int, from_round: int = 0) -> DataFrame | None:
         """Latest committed bitset per shard as of round ``r`` (bloom
         deltas are append-only like everything else; each row carries the
-        ``covers`` round it was built through)."""
-        rows = self.store.read_deltas(self.spark, "bloom", r)
+        ``covers`` round it was built through). ``from_round`` lets the
+        engine skip deltas older than the last FULL-set write (tracked in
+        metrics as ``bloom_base``) so reconstruction reads a bounded
+        number of delta dirs regardless of run length."""
+        rows = self.store.read_deltas(self.spark, "bloom", r, from_round=from_round)
         if rows is None:
             return None
         w = Window.partitionBy("shard_id").orderBy(F.desc("covers"))
@@ -360,30 +366,51 @@ class CrawlEngine:
                 known_hashes, cfg.bloom_shards, n_bits=n_bits
             ).withColumn("covers", F.lit(r - 1))
             meta["bloom_rebuilds"] = last_metrics.get("bloom_rebuilds", 0) + 1
+            meta["bloom_base"] = r
         else:
             n_bits = prev_bits
-            current = self.current_bloom(r - 1)
+            base = last_metrics.get("bloom_base", 0)
+            compact = r - base >= cfg.bloom_compact_every
+            current = self.current_bloom(r - 1, from_round=base)
             fresh = store.read_deltas(spark, "known", r - 1, from_round=prev_covers + 1)
             meta["bloom_rebuilds"] = last_metrics.get("bloom_rebuilds", 0)
-            if fresh is None:
+            meta["bloom_base"] = base
+            if fresh is None and not compact:
                 return (
                     current,
                     None,
                     {"bloom_covers": prev_covers, "bloom_n_bits": n_bits, **meta},
                 )
-            fresh_hashes = fresh.select(
-                url_hash(F.col("canonical_url")).alias("url_hash")
-            )
-            dirty = bloom.build_shards(fresh_hashes, cfg.bloom_shards, n_bits=n_bits)
-            delta_df = bloom.or_shards(current.drop("covers"), dirty).withColumn(
-                "covers", F.lit(r - 1)
-            )
+            if fresh is None:
+                merged = current.drop("covers")
+                dirty_ids = None
+            else:
+                fresh_hashes = fresh.select(
+                    url_hash(F.col("canonical_url")).alias("url_hash")
+                )
+                dirty = bloom.build_shards(fresh_hashes, cfg.bloom_shards, n_bits=n_bits)
+                merged = bloom.or_shards(current.drop("covers"), dirty)
+                dirty_ids = merged.select("shard_id")
+            if compact:
+                # periodic FULL-set delta: caps how far back readers ever
+                # look; everything it contains is already merged state
+                if dirty_ids is None:
+                    full_set = merged  # nothing dirty: merged IS the full set
+                else:
+                    untouched = current.drop("covers").join(
+                        dirty_ids, "shard_id", "left_anti"
+                    )
+                    full_set = untouched.unionByName(merged)
+                delta_df = full_set.withColumn("covers", F.lit(r - 1))
+                meta["bloom_base"] = r
+            else:
+                delta_df = merged.withColumn("covers", F.lit(r - 1))
         info = store.write_delta(delta_df, "bloom", r)
         written = spark.read.parquet(info["path"])
-        if full_build:
+        if full_build or meta.get("bloom_base") == r:
             shards = written
         else:
-            untouched = self.current_bloom(r - 1).join(
+            untouched = self.current_bloom(r - 1, from_round=last_metrics.get("bloom_base", 0)).join(
                 written.select("shard_id"), "shard_id", "left_anti"
             )
             shards = untouched.unionByName(written)

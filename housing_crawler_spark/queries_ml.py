@@ -417,9 +417,10 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d5_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard similarity over adjacent doc pairs (the pairing is
-    a stand-in for LSH candidates; the measure is the operator under
-    test)."""
+    """n-gram Jaccard similarity over adjacent doc pairs — the MEASURE
+    in isolation with a trivially-auditable pairing; the real pipeline
+    wiring (LSH candidates → this measure → keeper) is
+    d7_dedup_pipeline in queries_ml2.py."""
     d = (
         load(spark, sf_dir, "documents")
         .withColumn("__norm", norm_text(F.col("text")))
@@ -447,7 +448,9 @@ def d5_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d6_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection over candidate pairs — the
-    dot/norm fold is bit-identical across engines (see module note)."""
+    MEASURE in isolation (bit-identical dot/norm fold, see module
+    note); the real pipeline wiring (LSH buckets → this measure) is
+    s3_ann_near_dup in queries_ml2.py."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a, b = e.alias("a"), e.alias("b")
     cs = cosine(F.col("a.embedding"), F.col("b.embedding"))

@@ -129,3 +129,42 @@ def test_resume_preserves_bloom_state(spark, tmp_path_factory, engines):
     sa = {r["canonical_url"] for r in on.seen(N_ROUNDS).collect()}
     sb = {r["canonical_url"] for r in eng2.seen(N_ROUNDS).collect()}
     assert sa == sb
+
+
+def test_bloom_compaction_bounds_reconstruction(spark, tmp_path_factory, engines):
+    """With bloom_compact_every=2, every other round writes a FULL-set
+    bloom delta and bloom_base advances — current_bloom restricted to
+    from_round=bloom_base must equal the unrestricted reconstruction,
+    and the crawl itself is unchanged."""
+    on, _ = engines
+    eng = _run(
+        spark,
+        str(tmp_path_factory.mktemp("bloom_compact")),
+        EngineConfig(bloom_shards=N_SHARDS, bloom_min_known=1, bloom_compact_every=2),
+    )
+    a = {r["canonical_url"] for r in eng.seen(N_ROUNDS).collect()}
+    b = {r["canonical_url"] for r in on.seen(N_ROUNDS).collect()}
+    assert a == b
+
+    commits = eng.store.commits()
+    base = None
+    for c in commits:
+        m = c.get("metrics", {})
+        if "bloom_base" in m:
+            base = m["bloom_base"]
+    assert base is not None and base > 0, "compaction never advanced bloom_base"
+    full = {
+        (r["shard_id"], bytes(r["bitset"]).hex())
+        for r in eng.current_bloom(N_ROUNDS).collect()
+    }
+    bounded = {
+        (r["shard_id"], bytes(r["bitset"]).hex())
+        for r in eng.current_bloom(N_ROUNDS, from_round=base).collect()
+    }
+    assert full == bounded
+    # and the bounded view matches the never-compacted engine's bloom
+    ref = {
+        (r["shard_id"], bytes(r["bitset"]).hex())
+        for r in on.current_bloom(N_ROUNDS).collect()
+    }
+    assert bounded == ref
