@@ -48,7 +48,9 @@ _PRIORITY = [
     "p1_exact_percentiles",
 ]
 
-REGISTRY = {name: _R[name] for name in _PRIORITY if name in _R}
+_missing = [n for n in _PRIORITY if n not in _R]
+assert not _missing, f"priority list names unknown queries: {_missing}"
+REGISTRY = {name: _R[name] for name in _PRIORITY}
 for _name, _qd in _R.items():
     if _name not in REGISTRY:
         REGISTRY[_name] = _qd

@@ -361,7 +361,8 @@ class CrawlEngine:
             # full (re)build, sized with growth headroom so subsequent
             # rounds stay incremental
             want = cfg.bloom_growth * cfg.bloom_bits_per_key * max(1, n_known_prev)
-            n_bits = 1 << max(12, (want // cfg.bloom_shards)).bit_length()
+            # floor at 2^12 bits/shard (matches bloom.build_shards min_bits)
+            n_bits = 1 << max(12, (want // cfg.bloom_shards).bit_length())
             delta_df = bloom.build_shards(
                 known_hashes, cfg.bloom_shards, n_bits=n_bits
             ).withColumn("covers", F.lit(r - 1))
@@ -410,10 +411,12 @@ class CrawlEngine:
         if full_build or meta.get("bloom_base") == r:
             shards = written
         else:
-            untouched = self.current_bloom(r - 1, from_round=last_metrics.get("bloom_base", 0)).join(
+            # reuse the reconstruction already built above — re-deriving
+            # it would re-read every bloom delta dir a second time per round
+            untouched = current.drop("covers").join(
                 written.select("shard_id"), "shard_id", "left_anti"
             )
-            shards = untouched.unionByName(written)
+            shards = untouched.unionByName(written.drop("covers"))
         return (
             shards.drop("covers"),
             info,

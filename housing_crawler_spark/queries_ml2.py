@@ -117,8 +117,10 @@ _D7_CHAIN_SQL = f"""
     ),
     verified AS (
       SELECT c.dup_id, c.keeper,
-             len(list_intersect(c.g, k.g))::DOUBLE
-               / (len(c.g) + len(k.g) - len(list_intersect(c.g, k.g))) AS jac
+             CASE WHEN len(c.g) + len(k.g) - len(list_intersect(c.g, k.g)) > 0
+                  THEN len(list_intersect(c.g, k.g))::DOUBLE
+                       / (len(c.g) + len(k.g) - len(list_intersect(c.g, k.g)))
+             END AS jac
       FROM (SELECT * FROM cands WHERE keeper IS NOT NULL) c
       JOIN grams k ON k.doc_id = c.keeper
     )
@@ -180,7 +182,10 @@ def d7_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("keeper").isNotNull())
     k = grams.select(F.col("doc_id").alias("keeper"), F.col("g").alias("kg"))
     inter = F.size(F.array_intersect(F.col("g"), F.col("kg")))
-    jac = inter.cast("double") / (F.size(F.col("g")) + F.size(F.col("kg")) - inter)
+    union_n = F.size(F.col("g")) + F.size(F.col("kg")) - inter
+    # degenerate empty-gram docs: union 0 → NULL (ANSI would throw;
+    # DuckDB 0/0 is NULL too, and NULL fails the >= threshold both sides)
+    jac = F.when(union_n > 0, inter.cast("double") / union_n)
     return (
         cands.join(k, "keeper")
         .select("dup_id", "keeper", jac.alias("jac"))
@@ -309,6 +314,39 @@ def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(planted)
 
 
+def _banded_hamming(
+    imgs: DataFrame, band_bits: int, n_bands: int, max_hamming: int
+) -> DataFrame:
+    """Multi-band Hamming near-dup core shared by m2 (synthetic 60-bit
+    hashes) and m3 (real 64-bit image phashes): per-band equi-self-join
+    on the band value, union, distinct, exact bit_count(xor) verify."""
+    a, b = imgs.alias("a"), imgs.alias("b")
+    mask = (1 << band_bits) - 1
+
+    def band(col, k):
+        return F.shiftrightunsigned(col, k * band_bits).bitwiseAND(F.lit(mask))
+
+    cands = None
+    for k in range(n_bands):
+        part = a.join(
+            b,
+            (band(F.col("a.phash"), k) == band(F.col("b.phash"), k))
+            & (F.col("a.image_key") < F.col("b.image_key")),
+        ).select(
+            F.col("a.image_key").alias("img_a"),
+            F.col("b.image_key").alias("img_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        cands = part if cands is None else cands.unionByName(part)
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cands.distinct()
+        .select("img_a", "img_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def _bands_sql(h: str) -> list[str]:
     return [
         f"(({h} >> {k * _BAND_BITS}) & {(1 << _BAND_BITS) - 1})"
@@ -342,35 +380,8 @@ def m2_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed and no single band carries the whole corpus — the
     round-1 single-top-byte band both under-recalled and skewed), then
     exact Hamming via bit_count(xor). All JVM-side."""
-    imgs = _phash_table(spark, sf_dir)
-    a, b = imgs.alias("a"), imgs.alias("b")
-
-    def band(col, k):
-        return F.shiftrightunsigned(col, k * _BAND_BITS).bitwiseAND(
-            F.lit((1 << _BAND_BITS) - 1)
-        )
-
-    parts = []
-    for k in range(_N_BANDS):
-        parts.append(
-            a.join(
-                b,
-                (band(F.col("a.phash"), k) == band(F.col("b.phash"), k))
-                & (F.col("a.image_key") < F.col("b.image_key")),
-            ).select(
-                F.col("a.image_key").alias("img_a"),
-                F.col("b.image_key").alias("img_b"),
-                F.col("a.phash").alias("ph_a"),
-                F.col("b.phash").alias("ph_b"),
-            )
-        )
-    cands = parts[0]
-    for p in parts[1:]:
-        cands = cands.unionByName(p)
-    cands = cands.distinct()
-    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return cands.select("img_a", "img_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= 8
+    return _banded_hamming(
+        _phash_table(spark, sf_dir), _BAND_BITS, _N_BANDS, max_hamming=8
     )
 
 
@@ -385,34 +396,7 @@ def m3_phash_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _image_table(spark, sf_dir).select(
         F.col("image_id").alias("image_key"), "phash"
     )
-    a, b = imgs.alias("a"), imgs.alias("b")
-
-    def band(col, k):
-        return F.shiftrightunsigned(col, k * 16).bitwiseAND(F.lit(0xFFFF))
-
-    parts = []
-    for k in range(4):
-        parts.append(
-            a.join(
-                b,
-                (band(F.col("a.phash"), k) == band(F.col("b.phash"), k))
-                & (F.col("a.image_key") < F.col("b.image_key")),
-            ).select(
-                F.col("a.image_key").alias("img_a"),
-                F.col("b.image_key").alias("img_b"),
-                F.col("a.phash").alias("ph_a"),
-                F.col("b.phash").alias("ph_b"),
-            )
-        )
-    cands = parts[0]
-    for p in parts[1:]:
-        cands = cands.unionByName(p)
-    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (
-        cands.distinct()
-        .select("img_a", "img_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= 16)
-    )
+    return _banded_hamming(imgs, band_bits=16, n_bands=4, max_hamming=16)
 
 
 # ---------------------------------------------------------------------------
