@@ -25,6 +25,7 @@ import math
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from housing_crawler_spark.etl import (
     ENERGY_CLASS_MAP,
@@ -328,3 +329,32 @@ def test_bowtie_join_reproduces_reference_null_rate(golden, pipeline_out):
     o = pipeline_out[pipeline_out["city"].isin(GRID_CITIES)]
     assert g["km_to_centroid"].isna().sum() == o["km_to_centroid"].isna().sum()
     assert 0.3 < g["km_to_centroid"].isna().mean() < 0.7
+
+
+def test_etl_is_delta_local(spark, golden):
+    """Scale property: every stage is row-local (no cross-row state
+    except the final id-dedup), so processing arriving deltas
+    independently and unioning equals processing the union — the engine
+    can run the ETL incrementally over per-round known deltas instead
+    of reprocessing the month like the reference does."""
+    import pandas as pd
+
+    from housing_crawler_spark.etl import process_ads_tables
+
+    raw = reconstruct_raw(golden.head(400))
+    sdf = spark.createDataFrame(raw.astype(object).where(pd.notna(raw), None))
+    a = sdf.filter(F.col("id") % 2 == 0)
+    b = sdf.filter(F.col("id") % 2 == 1)
+    whole = process_ads_tables(sdf).toPandas().sort_values("id").reset_index(drop=True)
+    parts = (
+        process_ads_tables(a)
+        .unionByName(process_ads_tables(b))
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(whole["id"]) == list(parts["id"])
+    for col in whole.columns:
+        ga = whole[col].fillna("__null__").astype(str)
+        gb = parts[col].fillna("__null__").astype(str)
+        assert (ga == gb).all(), col
