@@ -2,16 +2,23 @@
 order it for the driver's correctness gate.
 
 The driver checks the FIRST 50 registry entries against their DuckDB
-oracles (CORRECTNESS_r01 covered exactly positions 0-49), so ordering
-is coverage policy: queries that are new this round or that never got a
-driver row lead; queries already proven green in a previous round's
-CORRECTNESS file fill the remaining slots in stable order. Everything
-is ALSO checked locally by tests/test_queries.py regardless of
-position — the rotation only affects which get the driver's
-independent re-check this round (see COVERAGE.md).
+oracles, so ordering is coverage policy. It is SELF-MAINTAINING
+(round-2 VERDICT item 2): the committed CORRECTNESS_r*.json files are
+the ledger of when each query last got a green driver row, and the
+registry is sorted oldest-green-first — a query that is new, never
+driver-checked, or failed its last check leads; the most recently
+re-verified ones fill the tail. By construction no oracle query can go
+more than ceil(n_queries / 50) rounds without an independent driver
+re-check. Everything is ALSO checked locally by tests/test_queries.py
+regardless of position (see COVERAGE.md).
 """
 
 from __future__ import annotations
+
+import glob
+import json
+import os
+import re
 
 from . import queries as _q  # noqa: F401  (base operators)
 from . import queries_analytics as _qa  # noqa: F401  (A/W/J/F families)
@@ -23,36 +30,42 @@ from . import queries_more as _qmo  # noqa: F401  (long-tail §2 shapes)
 from . import queries_multimodal as _qmm  # noqa: F401  (image columns)
 from .queries import REGISTRY as _R
 
-# new in round 2, or had no CORRECTNESS_r01 row (driver cap), or failed
-# the r01 hash gate (j3) — these get the driver's check first
-_PRIORITY = [
-    "j3_grid_spatial_join",
-    "etl1_prepare",
-    "etl2_filter",
-    "etl3_numerical",
-    "etl4_split",
-    "etl5_features",
-    "etl6_impute",
-    "e6_relative_time",
-    "e7_city_normalize",
-    "d7_dedup_pipeline",
-    "s3_ann_near_dup",
-    "s4_ivf_ann",
-    "c2_robots_parse",
-    "m2_phash_near_dup",
-    "a10_rowwise_mean",
-    "w4_rank_groups_by_mean",
-    "f5_bbox_null_outside",
-    "g1_geocode_fallback_join",
-    "r1_rollup",
-    "p1_exact_percentiles",
-]
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_missing = [n for n in _PRIORITY if n not in _R]
-assert not _missing, f"priority list names unknown queries: {_missing}"
-REGISTRY = {name: _R[name] for name in _PRIORITY}
-for _name, _qd in _R.items():
-    if _name not in REGISTRY:
-        REGISTRY[_name] = _qd
+
+def _last_green_round() -> dict[str, int]:
+    """name -> latest round whose CORRECTNESS file shows all three
+    checks green (rows+schema+hash, no err). Failed/errored/absent
+    rows don't count, so those queries sort to the front again."""
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+_LAST = _last_green_round()
+_POS = {name: i for i, name in enumerate(_R)}
+REGISTRY = {
+    name: _R[name]
+    for name in sorted(_R, key=lambda n: (_LAST.get(n, 0), _POS[n]))
+}
 
 __all__ = ["REGISTRY"]

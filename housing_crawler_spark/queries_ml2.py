@@ -23,8 +23,6 @@ from .queries_ml import (
     _minhash_sql,
     _N_MINHASH,
     _NORM_SQL,
-    _bucket_col,
-    _bucket_sql,
     char_3grams,
     cosine,
     md5int,
@@ -195,8 +193,12 @@ def d7_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# s3 — ANN-bucket near-dup: s2's hyperplane buckets generate the
-# candidates, d6's cosine verifies them (real wiring, full corpus)
+# s3 — ANN near-dup at corpus scale: hyperplane-LSH BANDS generate one
+# candidate link per (vector, band) via star-to-bucket-representative —
+# the d7 pattern — and exact cosine verifies each link. Candidate rows
+# are <= BANDS * n BY CONSTRUCTION (no within-bucket all-pairs join:
+# the round-2 version emitted ~n^2/256 pairs on template-heavy corpora,
+# the exact quadratic shape d7's rewrite measured at 188 s and fixed).
 # ---------------------------------------------------------------------------
 
 # planted embedding clones: exact (vec_id+1e6) and perturbed (vec_id+2e6)
@@ -233,6 +235,84 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")).unionByName(exact.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))).unionByName(pert)
 
 
+# Band b uses hyperplanes 16*b .. 16*b+_S3_PLANES-1 from the shared
+# deterministic plane family (disjoint between bands). More planes per
+# band = purer buckets = a likelier true-dup representative; clones are
+# sign-IDENTICAL (exact copies and uniform scalings both preserve every
+# sign(w.x)), so they collide in every band at any plane count.
+_S3_PLANES = 12
+_S3_BANDS = 2
+
+
+def _band_bucket_sql(emb: str, band: int) -> str:
+    from .queries_ml import _dot_sql, _plane_sql
+
+    terms = []
+    for i in range(_S3_PLANES):
+        d = _dot_sql(emb, _plane_sql(16 * band + i))
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _band_bucket_col(emb, band: int):
+    from .queries_ml import _plane_col, dot
+
+    out = None
+    for i in range(_S3_PLANES):
+        term = F.when(dot(emb, _plane_col(16 * band + i)) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        out = term if out is None else out + term
+    return out
+
+
+def star_near_dup(e: DataFrame, threshold: float = 0.999) -> DataFrame:
+    """Linear-shape embedding near-dup core: per band, every vector
+    emits AT MOST ONE candidate link (to its band bucket's min vec_id),
+    so candidate rows <= _S3_BANDS * n regardless of bucket skew; exact
+    cosine then verifies each link. Input: (vec_id, embedding:double[])."""
+    e = e.cache()
+    bucketed = e.select(
+        "vec_id",
+        *[_band_bucket_col(F.col("embedding"), b).alias(f"b{b}") for b in range(_S3_BANDS)],
+    )
+    starred = bucketed.select(
+        "vec_id",
+        *[
+            F.min("vec_id").over(Window.partitionBy(f"b{b}")).alias(f"bmin_{b}")
+            for b in range(_S3_BANDS)
+        ],
+    )
+    doc = F.col("vec_id")
+    cands = (
+        starred.select(
+            doc.alias("vec_b"),
+            F.explode(
+                F.array(
+                    *[
+                        F.when(F.col(f"bmin_{b}") < doc, F.col(f"bmin_{b}"))
+                        for b in range(_S3_BANDS)
+                    ]
+                )
+            ).alias("vec_a"),
+        )
+        .filter(F.col("vec_a").isNotNull())
+        .distinct()
+    )
+    ka = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    kb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cs = cosine(F.col("ea"), F.col("eb"))
+    return (
+        cands.join(ka, "vec_a")
+        .join(kb, "vec_b")
+        .select("vec_a", "vec_b", cs.alias("cs"))
+        .filter(F.col("cs") >= threshold)
+        .select(
+            "vec_a", "vec_b", F.round(F.col("cs") + F.lit(1e-9), 4).alias("cos_sim")
+        )
+    )
+
+
 @query(
     "s3_ann_near_dup",
     oracle=f"""
@@ -242,41 +322,43 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM corpus0
     ),
     bucketed AS (
-      SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+      SELECT vec_id,
+             {_band_bucket_sql("embedding", 0)} AS b0,
+             {_band_bucket_sql("embedding", 1)} AS b1
       FROM corpus
+    ),
+    starred AS (
+      SELECT vec_id,
+             min(vec_id) OVER (PARTITION BY b0) AS bmin_0,
+             min(vec_id) OVER (PARTITION BY b1) AS bmin_1
+      FROM bucketed
+    ),
+    cands AS (
+      SELECT DISTINCT vec_a, vec_id AS vec_b FROM (
+        SELECT vec_id,
+               unnest([CASE WHEN bmin_0 < vec_id THEN bmin_0 END,
+                       CASE WHEN bmin_1 < vec_id THEN bmin_1 END]) AS vec_a
+        FROM starred
+      ) WHERE vec_a IS NOT NULL
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(({_cos_sql("a.embedding", "b.embedding")}) + 1e-9, 4) AS cos_sim
-    FROM bucketed a JOIN bucketed b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.999
+    SELECT c.vec_a, c.vec_b,
+           round(({_cos_sql("ka.embedding", "kb.embedding")}) + 1e-9, 4) AS cos_sim
+    FROM cands c
+    JOIN corpus ka ON ka.vec_id = c.vec_a
+    JOIN corpus kb ON kb.vec_id = c.vec_b
+    WHERE {_cos_sql("ka.embedding", "kb.embedding")} >= 0.999
     """,
 )
 def s3_ann_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup detection at corpus scale: s2's random-
-    hyperplane LSH buckets generate candidates (equi-join on bucket —
-    clones land in the same bucket because sign(w·x) is scale-
-    invariant), d6's cosine verifies them. No cross join; the planted
-    exact and uniformly-scaled clones are exactly the pairs that
-    survive."""
-    e = _emb(spark, sf_dir)
-    bucketed = e.select("vec_id", "embedding", _bucket_col(F.col("embedding")).alias("bucket"))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cs = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cs.alias("cs"),
-        )
-        .filter(F.col("cs") >= 0.999)
-        .select("vec_a", "vec_b", F.round(F.col("cs") + F.lit(1e-9), 4).alias("cos_sim"))
-    )
+    """Embedding near-dup detection, scale shape (round-3 fix of the
+    round-2 quadratic): {_S3_BANDS} disjoint hyperplane-LSH bands
+    ({_S3_PLANES} planes each) bucket the corpus; within each band every
+    vector links only to its bucket's MIN vec_id (star-to-representative
+    window, the d7 pattern) instead of joining all pairs, so candidate
+    rows are <= {_S3_BANDS}n by construction even when one template
+    floods a bucket. Exact cosine verifies each link. Clones collide in
+    every band because sign(w.x) is scale-invariant."""
+    return star_near_dup(_emb(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -314,13 +396,26 @@ def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(planted)
 
 
+# All-pairs inside a band bucket is quadratic in bucket size; a hot
+# band value (all-zero phashes from blank/solid images are the classic
+# case) makes one bucket carry the whole corpus. Buckets above this cap
+# fall back to star-to-representative links (the d7/s3 pattern): linear,
+# and dedup-equivalent (the component stays connected through the rep).
+_MAX_BUCKET = 64
+
+
 def _banded_hamming(
-    imgs: DataFrame, band_bits: int, n_bands: int, max_hamming: int
+    imgs: DataFrame,
+    band_bits: int,
+    n_bands: int,
+    max_hamming: int,
+    max_bucket: int = _MAX_BUCKET,
 ) -> DataFrame:
     """Multi-band Hamming near-dup core shared by m2 (synthetic 60-bit
     hashes) and m3 (real 64-bit image phashes): per-band equi-self-join
-    on the band value, union, distinct, exact bit_count(xor) verify."""
-    a, b = imgs.alias("a"), imgs.alias("b")
+    on the band value for buckets <= max_bucket, star links to the
+    bucket's min image_key for oversized (skewed) buckets, union,
+    distinct, exact bit_count(xor) verify."""
     mask = (1 << band_bits) - 1
 
     def band(col, k):
@@ -328,9 +423,17 @@ def _banded_hamming(
 
     cands = None
     for k in range(n_bands):
-        part = a.join(
-            b,
-            (band(F.col("a.phash"), k) == band(F.col("b.phash"), k))
+        w = Window.partitionBy("bv")
+        bk = (
+            imgs.select("image_key", "phash", band(F.col("phash"), k).alias("bv"))
+            .withColumn("sz", F.count("*").over(w))
+            .withColumn("mn", F.min(F.struct("image_key", "phash")).over(w))
+        )
+        small_a = bk.filter(F.col("sz") <= max_bucket).alias("a")
+        small_b = bk.filter(F.col("sz") <= max_bucket).alias("b")
+        pairs = small_a.join(
+            small_b,
+            (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.image_key") < F.col("b.image_key")),
         ).select(
             F.col("a.image_key").alias("img_a"),
@@ -338,6 +441,15 @@ def _banded_hamming(
             F.col("a.phash").alias("ph_a"),
             F.col("b.phash").alias("ph_b"),
         )
+        stars = bk.filter(
+            (F.col("sz") > max_bucket) & (F.col("image_key") > F.col("mn.image_key"))
+        ).select(
+            F.col("mn.image_key").alias("img_a"),
+            F.col("image_key").alias("img_b"),
+            F.col("mn.phash").alias("ph_a"),
+            F.col("phash").alias("ph_b"),
+        )
+        part = pairs.unionByName(stars)
         cands = part if cands is None else cands.unionByName(part)
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return (
@@ -347,26 +459,42 @@ def _banded_hamming(
     )
 
 
-def _bands_sql(h: str) -> list[str]:
-    return [
-        f"(({h} >> {k * _BAND_BITS}) & {(1 << _BAND_BITS) - 1})"
-        for k in range(_N_BANDS)
-    ]
+def _band_cte_sql(k: int) -> str:
+    """Per-band CTE mirroring _banded_hamming's window stage: band
+    value, bucket size, and the bucket representative (min image_key
+    and ITS phash)."""
+    bexpr = f"((phash >> {k * _BAND_BITS}) & {(1 << _BAND_BITS) - 1})"
+    return f"""bk{k} AS (
+      SELECT image_key, phash, {bexpr} AS bv,
+             count(*) OVER (PARTITION BY {bexpr}) AS sz,
+             min(image_key) OVER (PARTITION BY {bexpr}) AS bmin,
+             arg_min(phash, image_key) OVER (PARTITION BY {bexpr}) AS bph
+      FROM imgs
+    )"""
+
+
+def _band_union_sql(k: int) -> str:
+    """small buckets -> all pairs; oversized -> star-to-representative
+    (identical semantics to _banded_hamming's Spark plan)."""
+    return f"""
+        SELECT a.image_key AS img_a, b.image_key AS img_b,
+               a.phash AS ph_a, b.phash AS ph_b
+        FROM bk{k} a JOIN bk{k} b
+          ON a.bv = b.bv AND a.image_key < b.image_key
+        WHERE a.sz <= {_MAX_BUCKET}
+        UNION ALL
+        SELECT bmin AS img_a, image_key AS img_b, bph AS ph_a, phash AS ph_b
+        FROM bk{k} WHERE sz > {_MAX_BUCKET} AND image_key > bmin"""
 
 
 @query(
     "m2_phash_near_dup",
     oracle=f"""
     WITH imgs AS ({_PHASH_SQL}),
+    {", ".join(_band_cte_sql(k) for k in range(_N_BANDS))},
     cands AS (
       SELECT DISTINCT img_a, img_b, ph_a, ph_b FROM (
-        {" UNION ALL ".join(
-            f'''SELECT a.image_key AS img_a, b.image_key AS img_b,
-                       a.phash AS ph_a, b.phash AS ph_b
-                FROM imgs a JOIN imgs b
-                  ON {ba} = {bb} AND a.image_key < b.image_key'''
-            for ba, bb in zip(_bands_sql("a.phash"), _bands_sql("b.phash"))
-        )}
+        {" UNION ALL ".join(_band_union_sql(k) for k in range(_N_BANDS))}
       )
     )
     SELECT img_a, img_b, bit_count(xor(ph_a, ph_b)) AS hamming

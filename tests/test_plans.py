@@ -106,3 +106,47 @@ def test_d7_joins_are_equi(spark, sf_smoke):
     plan = plan_of(spark, REGISTRY["d7_dedup_pipeline"].fn(spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_s3_star_shape_is_linear_on_template_heavy_corpus(spark):
+    """The round-2 s3 did a within-bucket all-pairs self-join: a corpus
+    where one template floods a bucket emitted ~n^2/buckets candidate
+    rows (the d7-measured 188 s failure shape). The round-3 star core
+    must emit at most _S3_BANDS links per vector NO MATTER how skewed
+    the buckets are: 4000 identical vectors -> exactly 3999 output rows
+    (everyone links to the global min id in both bands; distinct), not
+    ~8M pairs."""
+    from pyspark.sql import functions as F
+
+    from housing_crawler_spark.queries_ml2 import _S3_BANDS, star_near_dup
+
+    n = 4000
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(v)) for v in (0.3, -1.2, 2.5, 0.7)]).alias("embedding"),
+    )
+    out = star_near_dup(e)
+    rows = out.count()
+    assert rows == n - 1, rows  # star links only — linear, never pairs
+    assert rows <= _S3_BANDS * n
+    # and every link names the single representative
+    assert out.filter(F.col("vec_a") != 0).count() == 0
+
+
+def test_banded_hamming_skew_guard(spark):
+    """A hot band value (10k identical phashes — blank images) must NOT
+    go quadratic: buckets above _MAX_BUCKET fall back to star links to
+    the bucket representative, so the output is n-1 rows (~5*10^7 pairs
+    under the unguarded all-pairs join)."""
+    from pyspark.sql import functions as F
+
+    from housing_crawler_spark.queries_ml2 import _banded_hamming
+
+    n = 10_000
+    hot = spark.range(n).select(
+        F.col("id").alias("image_key"), F.lit(0).cast("long").alias("phash")
+    )
+    out = _banded_hamming(hot, band_bits=15, n_bands=4, max_hamming=8)
+    assert out.count() == n - 1
+    # every surviving link points at the representative (image_key 0)
+    assert out.filter(F.col("img_a") != 0).count() == 0
