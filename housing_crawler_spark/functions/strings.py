@@ -73,6 +73,86 @@ def capitalize_city(col: Column) -> Column:
     return F.when(F.size(words) == 3, three).otherwise(F.initcap(col))
 
 
+# Address-hygiene constants (reference geocoding_addresses.py:10-25):
+# the weird-pattern strips run first, each followed by strip() and ONE
+# non-overlapping '  '->' ' pass, exactly like the reference loop; then
+# ' ,'->',' and the misspelling chain, in the reference's order (order
+# matters: 'xxx' strips before 'xx'; 'strs,' expands before 'str,').
+WEIRD_PATTERNS = (
+    "Am S Bahnhof",
+    "xxx",
+    "xx",
+    "Nahe",
+    "nahe",
+    "Nähe",
+    "nähe",
+    "Close To",
+    "Nearby",
+    "nearby",
+    "Close To",
+    "Close to",
+    "close to",
+    "close To",
+)
+
+MISSPELLINGS = (
+    ("srasse", "strasse"),
+    ("strs,", "strasse,"),
+    ("str,", "strasse,"),
+    ("Strs,", "Strasse,"),
+    ("Str,", "Strasse,"),
+    ("stasse,", "strasse,"),
+    ("Stasse,", "Strasse,"),
+    ("Strß,", "Straße,"),
+    ("strasze,", "strasse,"),
+    ("Strasze,", "Strasse,"),
+    ("Alle ", "Allee "),
+    ("alle ", "Allee "),
+    ("Alle,", "Allee,"),
+    ("alle,", "Allee,"),
+    ("feder", "felder"),
+    ("kungerstrasse", "kunger strasse"),
+    ("nummer zwei", "2"),
+    ("Schonehauser", "Schönhauser"),
+    ("Warschschauer", "Warschauer"),
+    ("Dunkerstraße", "Dunckerstraße"),
+    ("Reinstraße", "Rheinstraße"),
+    ("Neltstraße", "Neltestraße"),
+    ("Camebridger", "Cambridger"),
+    ("Koperniskusstraße", "Kopernikusstraße"),
+    ("Düsseldoffer", "Düsseldorfer"),
+    ("Borndorfer", "Bornsdorfer"),
+)
+
+
+def fix_weird_address(col: Column) -> Column:
+    """Address typo/noise correction feeding the geocode join (reference
+    geocoding_addresses.py:10-25): strip the weird location qualifiers
+    ('Nahe', 'Close To', placeholder x-runs), then apply the user-
+    misspelling replace chain ('srasse'→'strasse', 'Warschschauer'→
+    'Warschauer', …). Pure literal replaces — bug-compatible with the
+    reference, including single-pass space collapsing and the 'Halle '→
+    'HAllee ' quirk of the 'alle ' rule."""
+    s = col
+    for w in WEIRD_PATTERNS:
+        s = F.replace(F.trim(F.replace(s, F.lit(w), F.lit(""))), F.lit("  "), F.lit(" "))
+    s = F.replace(s, F.lit(" ,"), F.lit(","))
+    for a, b in MISSPELLINGS:
+        s = F.replace(s, F.lit(a), F.lit(b))
+    return s
+
+
+def fix_weird_address_sql(expr: str) -> str:
+    """DuckDB twin of fix_weird_address (nested replace/trim chain)."""
+    s = expr
+    for w in WEIRD_PATTERNS:
+        s = f"replace(trim(replace({s}, '{w}', '')), '  ', ' ')"
+    s = f"replace({s}, ' ,', ',')"
+    for a, b in MISSPELLINGS:
+        s = f"replace({s}, '{a}', '{b}')"
+    return s
+
+
 def simplify_address(col: Column) -> Column:
     """Address canonicalization (reference string_utils.py:50-68):
     '<street-words> <houseN>, <city> <neighborhood...>' →

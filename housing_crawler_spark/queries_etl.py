@@ -475,3 +475,68 @@ def e5_umlaut_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ads = _ads_df(spark, sf_dir)
     return ads.select("id", simplify_umlauts(F.col("heating")).alias("heating_ascii"))
+
+
+# ---------------------------------------------------------------------------
+# e8 — fix_weird_address: the address-hygiene step the geocode join
+# depends on (reference geocoding_addresses.py:10-25)
+# ---------------------------------------------------------------------------
+
+# dirty-address templates exercising the weird-pattern strips AND the
+# misspelling chain (each template hits different rules)
+_DIRTY_ADDRESSES = [
+    "Warschschauer Str, 12",
+    "Nahe Alexanderplatz, Grunerstrasse 20",
+    "Hauptsrasse 5, Berlin",
+    "Schonehauser Alle 44",
+    "xxx Dunkerstraße 7 xx",
+    "Close to Ostkreuz, Reinstraße 3",
+    "Koperniskusstraße nummer zwei, Berlin",
+    "Borndorfer Str, 9 nähe S Bahnhof",
+    "Camebridger Stasse, 15",
+    "Neltstraße 2 Nearby Park",
+]
+
+
+def _e8_case_sql() -> str:
+    whens = "\n".join(
+        f"WHEN {i} THEN '{a}'" for i, a in enumerate(_DIRTY_ADDRESSES)
+    )
+    return f"CASE c_custkey % {len(_DIRTY_ADDRESSES)}\n{whens}\nEND"
+
+
+def _e8_oracle() -> str:
+    from .functions.strings import fix_weird_address_sql
+
+    return f"""
+    WITH src AS (
+      SELECT c_custkey, {_e8_case_sql()} AS address_raw
+      FROM customer
+    )
+    SELECT c_custkey, address_raw,
+           {fix_weird_address_sql("address_raw")} AS address_fixed
+    FROM src
+    """
+
+
+@query("e8_fix_weird_address", oracle=_e8_oracle())
+def e8_fix_weird_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Address typo-correction chain (reference
+    geocoding_addresses.py:10-25 fix_weird_address): strips the weird
+    location qualifiers and applies the ~26-entry misspelling replace
+    chain as ONE native expression — the hygiene step that precedes the
+    g1 geocode dim join. Bug-compatible with the reference's sequential
+    str.replace semantics (single-pass space collapse, ordered rules)."""
+    from .functions.strings import fix_weird_address
+
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    addr = F.when(F.lit(False), "")
+    for i, a in enumerate(_DIRTY_ADDRESSES):
+        addr = addr.when(k % len(_DIRTY_ADDRESSES) == i, a)
+    src = c.select("c_custkey", addr.alias("address_raw"))
+    return src.select(
+        "c_custkey",
+        "address_raw",
+        fix_weird_address(F.col("address_raw")).alias("address_fixed"),
+    )

@@ -134,3 +134,49 @@ def test_simplify_address_matches_twin(spark):
     got = _run(spark, addrs, simplify_address)
     for a, g in zip(addrs, got):
         assert g == py_simplify_address(a), (a, g, py_simplify_address(a))
+
+
+def py_fix_weird_address(address: str) -> str:
+    """Twin of the reference's fix_weird_address
+    (geocoding_addresses.py:10-25): sequential str.replace, strip and
+    ONE '  '->' ' pass per weird pattern, then ' ,' and the ordered
+    misspelling chain."""
+    from housing_crawler_spark.functions.strings import MISSPELLINGS, WEIRD_PATTERNS
+
+    for weird in WEIRD_PATTERNS:
+        address = address.replace(weird, "").strip().replace("  ", " ")
+    address = address.replace(" ,", ",")
+    for a, b in MISSPELLINGS:
+        address = address.replace(a, b)
+    return address
+
+
+def test_fix_weird_address_matches_twin(spark):
+    from housing_crawler_spark.functions.strings import (
+        MISSPELLINGS,
+        WEIRD_PATTERNS,
+        fix_weird_address,
+    )
+
+    # every literal pattern the reference enumerates, embedded in
+    # realistic addresses, plus adversarial compositions (pattern at
+    # start/middle/end, doubles, the 'Halle ' false positive the
+    # reference's 'alle ' rule hits — bug-compatible on purpose)
+    addrs = (
+        [f"{w} Musterstraße 1, Berlin" for w in WEIRD_PATTERNS]
+        + [f"Musterweg 2 {w}, Berlin" for w in WEIRD_PATTERNS]
+        + [f"{a} 3, Berlin" for a, _ in MISSPELLINGS]
+        + [f"Kreuzweg {a} 4" for a, _ in MISSPELLINGS]
+        + [
+            "Halle an der Saale, Marktplatz 1",
+            "Am S Bahnhof Am S Bahnhof Hauptstr 2",
+            "xxxx Platzhalterweg 5",
+            "  Warschschauer  Strs,  7  ",
+            "NaheNahe Gartenweg 8",
+            "Close To Close to close to Parkstr, 9",
+            "Borndorfer srasse nummer zwei",
+        ]
+    )
+    got = _run(spark, addrs, fix_weird_address)
+    for a, g in zip(addrs, got):
+        assert g == py_fix_weird_address(a), (a, g, py_fix_weird_address(a))
