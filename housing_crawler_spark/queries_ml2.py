@@ -459,11 +459,12 @@ def _banded_hamming(
     )
 
 
-def _band_cte_sql(k: int) -> str:
+def _band_cte_sql(k: int, bits: int = _BAND_BITS) -> str:
     """Per-band CTE mirroring _banded_hamming's window stage: band
     value, bucket size, and the bucket representative (min image_key
-    and ITS phash)."""
-    bexpr = f"((phash >> {k * _BAND_BITS}) & {(1 << _BAND_BITS) - 1})"
+    and ITS phash). Arithmetic >> equals logical shift here because the
+    mask discards every sign-extended bit (mask < 2^(64-shift))."""
+    bexpr = f"((phash >> {k * bits}) & {(1 << bits) - 1})"
     return f"""bk{k} AS (
       SELECT image_key, phash, {bexpr} AS bv,
              count(*) OVER (PARTITION BY {bexpr}) AS sz,
@@ -513,18 +514,53 @@ def m2_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m3_phash_image_near_dup", oracle=None)
+# m3 materializes the Arrow stage's real phashes to parquet so BOTH
+# engines can run the banded-Hamming join over the same rows (round-2
+# VERDICT item 4: converts "trust the tests" into a hard CORRECTNESS
+# row for everything except the numpy kernel itself, which stays pinned
+# by m1's in-stage invariants + crawl parity). The query rewrites the
+# parquet at call time (the table is a pure function of the seed and is
+# doc-capped, so it is identical at every sf), then reads it back.
+_M3_MAT = "/tmp/hcs_mat/m3_phash"
+_M3_BITS = 16
+_M3_MAXHAM = 16
+
+
+@query(
+    "m3_phash_image_near_dup",
+    oracle=f"""
+    WITH imgs AS (
+      SELECT image_key, phash FROM read_parquet('{_M3_MAT}/*.parquet')
+    ),
+    {", ".join(_band_cte_sql(k, _M3_BITS) for k in range(_N_BANDS))},
+    cands AS (
+      SELECT DISTINCT img_a, img_b, ph_a, ph_b FROM (
+        {" UNION ALL ".join(_band_union_sql(k) for k in range(_N_BANDS))}
+      )
+    )
+    SELECT img_a, img_b, bit_count(xor(ph_a, ph_b)) AS hamming
+    FROM cands
+    WHERE bit_count(xor(ph_a, ph_b)) <= {_M3_MAXHAM}
+    """,
+)
 def m3_phash_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same multi-band Hamming scan over REAL perceptual hashes
-    produced by the Arrow image stage (numpy DCT phash of synthesized
-    pixels — not expressible in SQL, hence rows-only; the phash values
-    themselves are verified bit-exact by m1 and crawl parity)."""
+    """The multi-band Hamming scan over REAL perceptual hashes produced
+    by the Arrow image stage (numpy DCT phash of synthesized pixels).
+    The Arrow output is materialized to parquet and the banded join runs
+    in both engines over that table — only the numpy kernel itself is
+    outside the oracle (verified by m1's in-stage invariants + parity)."""
     from .queries_multimodal import _image_table
 
     imgs = _image_table(spark, sf_dir).select(
         F.col("image_id").alias("image_key"), "phash"
     )
-    return _banded_hamming(imgs, band_bits=16, n_bands=4, max_hamming=16)
+    imgs.write.mode("overwrite").parquet(_M3_MAT)
+    return _banded_hamming(
+        spark.read.parquet(_M3_MAT),
+        band_bits=_M3_BITS,
+        n_bands=_N_BANDS,
+        max_hamming=_M3_MAXHAM,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -222,16 +222,43 @@ def m4_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m5_video_frame_sample", oracle=None)
+# m5 materializes the sampled-frame metadata so the per-video summary
+# runs in BOTH engines over the same rows (like m3): only the frame
+# iterator + phash numpy kernels stay outside the oracle (pinned by
+# tests/test_media.py). Constant path: the frame table is a pure
+# function of the seed (doc-capped), identical at every sf, and the
+# query rewrites it at call time before the oracle reads it.
+_M5_MAT = "/tmp/hcs_mat/m5_frames"
+_M5_VID_RE = "^(vid-[0-9]+)-f"
+
+
+@query(
+    "m5_video_frame_sample",
+    oracle=f"""
+    SELECT regexp_extract(image_id, '{_M5_VID_RE}', 1) AS video_id,
+           count(*)::BIGINT AS n_sampled,
+           count(DISTINCT phash)::BIGINT AS n_distinct_phash,
+           min(w) AS w,
+           min(h) AS h
+    FROM read_parquet('{_M5_MAT}/*.parquet')
+    GROUP BY 1
+    """,
+)
 def m5_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (every 5th frame) into the IMAGE table
-    shape + per-frame phash, then a per-video summary. Composes with
+    shape + per-frame phash, then a per-video summary. The Arrow
+    stage's frame metadata is materialized to parquet and the summary
+    aggregation runs in both engines over that table. Composes with
     the image toolchain (the frames are valid m1/m3 inputs)."""
     from .operators.media import sample_frames
 
     frames = sample_frames(_video_table(spark, sf_dir), every_k=5)
-    vid = F.regexp_extract("image_id", r"^(vid-\d+)-f", 1)
-    return frames.groupBy(vid.alias("video_id")).agg(
+    frames.select("image_id", "w", "h", "phash").write.mode("overwrite").parquet(
+        _M5_MAT
+    )
+    mat = spark.read.parquet(_M5_MAT)
+    vid = F.regexp_extract("image_id", _M5_VID_RE, 1)
+    return mat.groupBy(vid.alias("video_id")).agg(
         F.count("*").alias("n_sampled"),
         F.countDistinct("phash").alias("n_distinct_phash"),
         F.min("w").alias("w"),
