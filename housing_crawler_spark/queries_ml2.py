@@ -564,17 +564,23 @@ def m3_phash_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# s4 — IVF ANN: k-means coarse quantizer (2 Lloyd iterations, K=8,
-# deterministic seed = first K vectors), probes search only their cell
+# s4 — IVF ANN: k-means coarse quantizer (deterministic seed = first K
+# vectors), probes scan the inverted lists of their nprobe nearest
+# centroids. K, iters, nprobe and topk are parameters of ivf_ann();
+# the oracle pins them to deterministic settings (K=8, 2 Lloyd
+# iterations, nprobe=2). At cluster scale K grows ~sqrt(n) so each
+# inverted list stays ~sqrt(n) and probe cost is nprobe*n/K.
 # ---------------------------------------------------------------------------
 
 _IVF_K = 8
 _IVF_ITERS = 2
+_IVF_NPROBE = 2
 
 
-def _sql_assign(base: str, cents: str) -> str:
+def _sql_assign(base: str, cents: str, nprobe: int = 1) -> str:
     """argmax-cosine cell assignment (rounded similarity + cid tiebreak
-    so FP noise can never flip the winner across engines)."""
+    so FP noise can never flip the winner across engines); nprobe>1
+    keeps the nprobe best cells."""
     cos = _cos_sql("b.e", "c.c")
     return f"""
       SELECT vec_id, e, cid FROM (
@@ -582,7 +588,7 @@ def _sql_assign(base: str, cents: str) -> str:
                row_number() OVER (PARTITION BY b.vec_id
                  ORDER BY round(({cos}) + 1e-9, 6) DESC, c.cid) AS rk
         FROM {base} b CROSS JOIN {cents} c
-      ) WHERE rk = 1
+      ) WHERE rk <= {nprobe}
     """
 
 
@@ -610,11 +616,16 @@ _IVF_SQL = f"""
     c1 AS ({_sql_recenter("a1")}),
     a2 AS ({_sql_assign("base", "c1")}),
     c2 AS ({_sql_recenter("a2")}),
-    cells AS ({_sql_assign("base", "c2")})
+    cells AS ({_sql_assign("base", "c2")}),
+    pbase AS (SELECT * FROM base WHERE vec_id < 5),
+    pcells AS ({_sql_assign("pbase", "c2", _IVF_NPROBE)})
 """
 
 
-def _df_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+def _df_assign(base: DataFrame, cents: DataFrame, nprobe: int = 1) -> DataFrame:
+    """argmax-cosine cell assignment vs the broadcast K-row centroid
+    dim; nprobe>1 keeps the nprobe best cells (probe-side multi-list
+    scan). Rounded similarity + cid tiebreak: engine-identical."""
     b, c = base.alias("b"), F.broadcast(cents).alias("c")
     cos = cosine(F.col("b.e"), F.col("c.c"))
     w = Window.partitionBy("vec_id").orderBy(
@@ -623,7 +634,7 @@ def _df_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
     return (
         b.crossJoin(c)
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        .filter(F.col("rk") <= nprobe)
         .select("vec_id", "e", "cid")
     )
 
@@ -640,42 +651,32 @@ def _df_recenter(assigned: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "s4_ivf_ann",
-    oracle=f"""
-    WITH {_IVF_SQL}
-    SELECT probe_id, neighbor_id, round((cs) + 1e-9, 4) AS sim
-    FROM (
-      SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
-             {_cos_sql("p.e", "x.e")} AS cs,
-             row_number() OVER (
-               PARTITION BY p.vec_id
-               ORDER BY round(({_cos_sql("p.e", "x.e")}) + 1e-9, 6) DESC,
-                        x.vec_id) AS rk
-      FROM (SELECT * FROM cells WHERE vec_id < 5) p
-      JOIN cells x ON x.cid = p.cid AND x.vec_id != p.vec_id
-    ) WHERE rk <= 3
-    """,
-)
-def s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate NN (the other scale path next to s2's LSH):
-    K-means coarse quantizer — deterministic seed (first K vectors),
-    {_IVF_ITERS} Lloyd iterations where assignment is a broadcast
+def ivf_ann(
+    base: DataFrame,
+    probes: DataFrame,
+    k_cells: int = _IVF_K,
+    iters: int = _IVF_ITERS,
+    nprobe: int = _IVF_NPROBE,
+    topk: int = 3,
+) -> DataFrame:
+    """IVF approximate NN core (the other scale path next to s2's LSH).
+    K-means coarse quantizer: deterministic seed (first k_cells
+    vectors), `iters` Lloyd iterations where assignment is a broadcast
     cross-join against the K-row centroid dim and re-centering is a
-    posexplode/groupBy mean — then probes scan ONLY their own inverted
-    list (nprobe=1, equi-join on cell id). Rounded similarities +
-    centroid-id tiebreaks make every assignment decision identical
-    across engines despite FP summation-order differences."""
-    base = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
-    cents = base.filter(F.col("vec_id") < _IVF_K).select(
+    posexplode/groupBy mean. Every vector lands in ONE inverted list;
+    each probe scans the lists of its `nprobe` nearest centroids
+    (equi-join on cell id — probe cost nprobe*n/K, never all-pairs).
+    Rounded similarities + centroid-id tiebreaks make every assignment
+    decision identical across engines despite FP summation order.
+    Inputs: (vec_id, e:double[]). Output: probe_id, neighbor_id, sim."""
+    cents = base.filter(F.col("vec_id") < k_cells).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("c")
     )
-    for _ in range(_IVF_ITERS):
+    for _ in range(iters):
         cents = _df_recenter(_df_assign(base, cents))
     cells = _df_assign(base, cents).cache()
-    p, x = cells.filter(F.col("vec_id") < 5).alias("p"), cells.alias("x")
+    p = _df_assign(probes, cents, nprobe=nprobe).alias("p")
+    x = cells.alias("x")
     cs = cosine(F.col("p.e"), F.col("x.e"))
     ranked = (
         p.join(
@@ -689,8 +690,38 @@ def s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rk", F.row_number().over(Window.partitionBy("probe_id").orderBy(
             F.desc(F.round(F.col("cs") + F.lit(1e-9), 6)), "neighbor_id")))
-        .filter(F.col("rk") <= 3)
+        .filter(F.col("rk") <= topk)
     )
     return ranked.select(
         "probe_id", "neighbor_id", F.round(F.col("cs") + F.lit(1e-9), 4).alias("sim")
     )
+
+
+@query(
+    "s4_ivf_ann",
+    oracle=f"""
+    WITH {_IVF_SQL}
+    SELECT probe_id, neighbor_id, round((cs) + 1e-9, 4) AS sim
+    FROM (
+      SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
+             {_cos_sql("p.e", "x.e")} AS cs,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY round(({_cos_sql("p.e", "x.e")}) + 1e-9, 6) DESC,
+                        x.vec_id) AS rk
+      FROM pcells p
+      JOIN cells x ON x.cid = p.cid AND x.vec_id != p.vec_id
+    ) WHERE rk <= 3
+    """,
+)
+def s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at the oracle's deterministic settings (K={_IVF_K},
+    {_IVF_ITERS} Lloyd iterations, nprobe={_IVF_NPROBE}, top-3): probes
+    scan the inverted lists of their two nearest centroids. See
+    ivf_ann() for the parameterized core; tests/test_plans.py measures
+    recall@3 vs s1's brute-force ground truth."""
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    probes = base.filter(F.col("vec_id") < 5)
+    return ivf_ann(base, probes)

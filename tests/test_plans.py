@@ -133,6 +133,86 @@ def test_s3_star_shape_is_linear_on_template_heavy_corpus(spark):
     assert out.filter(F.col("vec_a") != 0).count() == 0
 
 
+def _ivf_recall(base, probes, k_cells, nprobe, topk):
+    """recall@topk of ivf_ann vs brute force, both under the same
+    rounded-cosine + id tiebreak ordering so ties can't flip it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from housing_crawler_spark.queries_ml import cosine
+    from housing_crawler_spark.queries_ml2 import ivf_ann
+
+    got = {
+        (r.probe_id, r.neighbor_id)
+        for r in ivf_ann(
+            base, probes, k_cells=k_cells, nprobe=nprobe, topk=topk
+        ).collect()
+    }
+    p, x = probes.alias("p"), base.alias("x")
+    cs = cosine(F.col("p.e"), F.col("x.e"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc(F.round(F.col("cs") + F.lit(1e-9), 6)), "neighbor_id"
+    )
+    gt = {
+        (r.probe_id, r.neighbor_id)
+        for r in (
+            p.join(x, F.col("p.vec_id") != F.col("x.vec_id"))
+            .select(
+                F.col("p.vec_id").alias("probe_id"),
+                F.col("x.vec_id").alias("neighbor_id"),
+                cs.alias("cs"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= topk)
+            .collect()
+        )
+    }
+    return len(got & gt) / len(gt)
+
+
+def test_s4_ivf_recall_clone_corpus(spark, sf_smoke):
+    """IVF quality gate, near-dup use case: on the corpus with planted
+    clones, a probe's true nearest neighbor is its clone (cosine 1.0 —
+    cell-stable, since uniform scaling preserves the centroid argmax
+    almost surely). recall@1 at nprobe=2 must be >= 0.9. Measured: 1.0."""
+    from pyspark.sql import functions as F
+
+    from housing_crawler_spark.queries_ml2 import _emb
+
+    emb = (
+        _emb(spark, sf_smoke)
+        .select("vec_id", F.col("embedding").alias("e"))
+        .cache()
+    )
+    probes = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 400))
+    r = _ivf_recall(emb, probes, k_cells=8, nprobe=2, topk=1)
+    assert r >= 0.9, f"clone-corpus recall@1 = {r:.3f}"
+
+
+def test_s4_ivf_recall_uniform_monotone_in_nprobe(spark, sf_smoke):
+    """On UNIFORM random 64-dim vectors (IVF's worst case — pairwise
+    cosines are noise-level, so no cell structure exists to prune by),
+    recall@3 must still reach >= 0.9 by raising nprobe, and must grow
+    monotonically with it (the cost/recall knob works). Measured at
+    K=8 over 20 probes: nprobe=2 -> 0.75, nprobe=5 -> 0.93."""
+    from pyspark.sql import functions as F
+
+    from housing_crawler_spark.queries import load
+
+    base = (
+        load(spark, sf_smoke, "embeddings")
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        )
+        .cache()
+    )
+    probes = base.filter(F.col("vec_id") < 20)
+    r_low = _ivf_recall(base, probes, k_cells=8, nprobe=2, topk=3)
+    r_high = _ivf_recall(base, probes, k_cells=8, nprobe=5, topk=3)
+    assert r_high >= 0.9, f"uniform recall@3 at nprobe=5 = {r_high:.3f}"
+    assert r_high >= r_low, (r_low, r_high)
+
+
 def test_banded_hamming_skew_guard(spark):
     """A hot band value (10k identical phashes — blank images) must NOT
     go quadratic: buckets above _MAX_BUCKET fall back to star links to
