@@ -42,8 +42,14 @@ HEADLINE = [
     "s2_ann_lsh_bucketed",
     "etl6_impute",  # the full 6-stage ETL chain
     "d7_dedup_pipeline",  # LSH candidates → Jaccard verify → keeper
-    "m2_phash_near_dup",  # 4-band Hamming near-dup
+    "m2_phash_near_dup",  # 4-band Hamming near-dup (skew-guarded)
+    "s3_ann_near_dup",  # star-to-representative ANN near-dup
 ]
+
+# single-shot timing couldn't distinguish a regression from noise
+# (round-2 VERDICT: s2 +40%, d4 +21% on UNCHANGED plans) — each query
+# runs REPS times and the median is reported
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def bench_queries(spark) -> dict[str, float]:
@@ -51,10 +57,16 @@ def bench_queries(spark) -> dict[str, float]:
 
     out = {}
     for name in HEADLINE:
-        df = REGISTRY[name].fn(spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(REPS):
+            df = REGISTRY[name].fn(spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+            # queries cache() derived tables internally; drop between
+            # reps so later reps don't accumulate heap pressure
+            spark.catalog.clearCache()
+        out[name] = round(sorted(times)[len(times) // 2], 3)
     return out
 
 
@@ -64,18 +76,26 @@ def bench_crawl(spark) -> dict:
     from housing_crawler_spark import synth
     from housing_crawler_spark.crawl import CrawlEngine, EngineConfig
 
+    # default world = EXACTLY the scaling runs' steady-state workload
+    # (bench_scaling.py), so the per-round number here is directly
+    # comparable to BENCH/BASELINE.md. Small worlds are fixed-cost-
+    # dominated (the old 300-page default read 252 URLs/s at local[32]
+    # while the 15000-page steady state reads ~2000 — the bloom
+    # prefilter never even activates at 3.6k URLs); realistic payloads
+    # (128-512 px, dctq, decode-verify per the north_rule's per-row
+    # invariant) keep codec compute, not round overhead, dominant.
     world = synth.WorldConfig(
         n_hosts=40,
-        base_pages=int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "300")),
-        round_seconds=int(os.environ.get("SPARK_GRAFT_BENCH_ROUND_SECONDS", "3600")),
-        img_lo=int(os.environ.get("SPARK_GRAFT_BENCH_IMG_LO", "16")),
-        img_hi=int(os.environ.get("SPARK_GRAFT_BENCH_IMG_HI", "256")),
-        imgs_per_detail_max=int(os.environ.get("SPARK_GRAFT_BENCH_IMGS", "3")),
-        fmt_override=os.environ.get("SPARK_GRAFT_BENCH_FMT") or None,
-        img_noise=float(os.environ.get("SPARK_GRAFT_BENCH_IMG_NOISE", "6.0")),
+        base_pages=int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "15000")),
+        round_seconds=int(os.environ.get("SPARK_GRAFT_BENCH_ROUND_SECONDS", "200000")),
+        img_lo=int(os.environ.get("SPARK_GRAFT_BENCH_IMG_LO", "128")),
+        img_hi=int(os.environ.get("SPARK_GRAFT_BENCH_IMG_HI", "512")),
+        imgs_per_detail_max=int(os.environ.get("SPARK_GRAFT_BENCH_IMGS", "2")),
+        fmt_override=os.environ.get("SPARK_GRAFT_BENCH_FMT", "dctq") or None,
+        img_noise=float(os.environ.get("SPARK_GRAFT_BENCH_IMG_NOISE", "2.0")),
     )
-    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
-    verify = os.environ.get("SPARK_GRAFT_BENCH_VERIFY", "0") == "1"
+    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
+    verify = os.environ.get("SPARK_GRAFT_BENCH_VERIFY", "1") == "1"
     with tempfile.TemporaryDirectory(prefix="hcs_bench_") as tmp:
         from housing_crawler_spark.storage.snapshots import SnapshotStore
 
@@ -89,6 +109,7 @@ def bench_crawl(spark) -> dict:
         eng.init_state(seed, synth.robots_rows(world))
         # measure the processing rounds only (seed ingestion is one-time);
         # counts come from round metrics + parquet footers — no extra jobs
+        os.sync()  # don't bill prior runs' page-cache writeback to this one
         t0 = time.perf_counter()
         metrics = eng.run(n_rounds)
         elapsed = time.perf_counter() - t0
@@ -123,8 +144,12 @@ def main() -> None:
         if crawl_only:
             print(json.dumps(bench_crawl(spark)))
             return
-        queries = bench_queries(spark)
+        # crawl FIRST, on the fresh JVM — the same conditions the scaling
+        # runs measure under (bench_scaling.py spawns a clean process per
+        # crawl); running 40+ query jobs beforehand leaves heap/GC
+        # pressure that shaved ~20% off the crawl number
         crawl = bench_crawl(spark)
+        queries = bench_queries(spark)
         total = round(sum(queries.values()) + crawl["crawl_sec"], 3)
         print(
             json.dumps(
