@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import etl
@@ -146,13 +146,34 @@ raw AS (
 
 def _raw_ads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    k = F.col("o_orderkey")
-    od = F.col("o_orderdate").cast("date")
+    return build_raw_ads(
+        o,
+        F.col("o_orderkey"),
+        F.col("o_orderdate").cast("date"),
+        F.floor(F.col("o_totalprice") / 200).cast("int"),
+    )
+
+
+def build_raw_ads(
+    src: DataFrame,
+    k: Column,
+    od: Column,
+    price: Column,
+    lat: Column | None = None,
+    lon: Column | None = None,
+) -> DataFrame:
+    """Deterministic raw-ads table from any keyed source: every ad
+    attribute is a pure function of (k, od, price) over the reference's
+    actual German value domains. Two call sites: the per-stage oracles
+    build it from ``orders`` (k = o_orderkey), and ads_bridge builds it
+    from the crawl store's detail fetch log (k = pmod(xxhash64(url)))
+    — the synth-world stand-in for the reference's BeautifulSoup parse
+    of the fetched detail page. ``k`` must be a non-negative integral
+    column (negative % would make every pick NULL)."""
     size = _df_pick([str(s) for s in _SIZES], k).cast("int")
     capacity = (1 + k % 6).cast("int")
-    price = F.floor(F.col("o_totalprice") / 200).cast("int")
     dmy = lambda c: F.date_format(c, "dd.MM.yyyy")  # noqa: E731
-    return o.select(
+    return src.select(
         k.alias("id"),
         price.alias("price_euros"),
         size.alias("size_sqm"),
@@ -198,8 +219,8 @@ def _raw_ads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         _df_pick(_LANGS, k).alias("languages"),
         _df_pick(_EXTRAS, k).alias("extras"),
         _df_pick(_WG_TYPE, k).alias("wg_type"),
-        (F.lit(40.0) + (k % 20)).alias("latitude"),
-        (F.lit(0.8) * (k % 25)).alias("longitude"),
+        (lat if lat is not None else F.lit(40.0) + (k % 20)).alias("latitude"),
+        (lon if lon is not None else F.lit(0.8) * (k % 25)).alias("longitude"),
         F.when(k % 3 == 0, F.lit(None)).otherwise((k % 250).cast("double")).alias("transfer_costs_euros"),
         F.when(k % 5 == 1, F.lit(None)).otherwise((k % 120).cast("double")).alias("extra_costs_euros"),
         F.when(k % 7 == 2, F.lit(None)).otherwise((k % 300).cast("double")).alias("mandatory_costs_euros"),

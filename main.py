@@ -15,6 +15,10 @@ Subcommands:
            checkpointed state under --store (resumes automatically)
   etl      run the full 6-stage ETL (reference process_ads_tables) on a
            raw-ads parquet table → wide analytics table parquet
+  etl-store  the reference's EP2 daemon chain: run the 6-stage ETL over
+           a crawl snapshot store's detail fetch output (ads_bridge) →
+           wide analytics table parquet; --from-round gives the
+           incremental (delta-local) variant
   query    run one registered query by name against an sf dir and show
            the first rows
 
@@ -68,6 +72,25 @@ def cmd_etl(args) -> None:
     print(json.dumps({"rows": spark.read.parquet(args.output).count(), "output": args.output}))
 
 
+def cmd_etl_store(args) -> None:
+    from housing_crawler_spark.ads_bridge import etl_from_store
+    from housing_crawler_spark.sources.geojson import load_grid_features
+    from housing_crawler_spark.storage.snapshots import SnapshotStore
+
+    spark = _spark(args)
+    grid = load_grid_features(spark, args.grid) if args.grid else None
+    out = etl_from_store(
+        spark,
+        SnapshotStore(args.store),
+        up_to_round=args.up_to_round,
+        from_round=args.from_round,
+        grid=grid,
+        cell_geometry=args.cell_geometry,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count(), "output": args.output}))
+
+
 def cmd_query(args) -> None:
     from housing_crawler_spark.all_queries import REGISTRY
 
@@ -95,6 +118,15 @@ def main() -> None:
     e.add_argument("--grid", nargs="*", default=None, help="grid geojson path(s)")
     e.add_argument("--cell-geometry", choices=("rect", "bowtie"), default="rect")
     e.set_defaults(fn=cmd_etl)
+
+    s = sub.add_parser("etl-store", help="6-stage ETL over a crawl store's output")
+    s.add_argument("--store", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--up-to-round", type=int, default=None)
+    s.add_argument("--from-round", type=int, default=0)
+    s.add_argument("--grid", nargs="*", default=None, help="grid geojson path(s)")
+    s.add_argument("--cell-geometry", choices=("rect", "bowtie"), default="rect")
+    s.set_defaults(fn=cmd_etl_store)
 
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")

@@ -1,0 +1,91 @@
+"""End-to-end EP2 chain (round-2 VERDICT item 9): crawl N rounds →
+run the 6-stage ETL over the snapshot store's output (ads_bridge) →
+row-count / schema / determinism assertions. The reference runs this
+as two daemons: main.py EP1 (crawl → raw ad tables) chained into EP2
+(ads_table_processing.process_ads_tables on a timer)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from housing_crawler_spark import synth
+from housing_crawler_spark.ads_bridge import ads_from_fetch_log, etl_from_store
+from housing_crawler_spark.crawl import CrawlEngine, EngineConfig
+from housing_crawler_spark.storage.snapshots import SnapshotStore
+
+WORLD = synth.WorldConfig(n_hosts=5, base_pages=6)
+N_ROUNDS = 5
+
+
+def _crawl(spark, path: str) -> CrawlEngine:
+    eng = CrawlEngine(spark, SnapshotStore(path), WORLD, EngineConfig())
+    eng.init_state(synth.seed_frontier_rows(WORLD), synth.robots_rows(WORLD))
+    eng.run(N_ROUNDS)
+    return eng
+
+
+def test_crawl_then_etl_over_store(spark, tmp_path):
+    eng = _crawl(spark, str(tmp_path / "store"))
+    r = eng.store.last_round()
+
+    details = eng.fetch_log(r).filter(F.col("kind") == "detail")
+    n_details = details.count()
+    assert n_details > 20  # the world actually produced ads
+
+    wide = etl_from_store(spark, eng.store)
+    rows = wide.collect()
+
+    # every surviving ad is one of the crawled detail pages, uniquely
+    ids = {row["id"] for row in rows}
+    detail_ids = {
+        row["id"]
+        for row in ads_from_fetch_log(details).select("id").collect()
+    }
+    assert 0 < len(rows) <= n_details
+    assert len(ids) == len(rows)  # id-deduped
+    assert ids <= detail_ids
+
+    # the wide analytics schema — same builder as the etl1-6 oracle
+    # path, so the store chain must land on the identical shape
+    cols = set(wide.columns)
+    for c in (
+        "id",
+        "price_euros",
+        "price_per_sqm_cold",
+        "days_available",
+        "rental_length_term",
+        "wg_type_studenten",
+        "capacity",
+    ):
+        assert c in cols, c
+
+    # survivors respect the stage-2 keep rules the ETL enforces
+    for row in rows:
+        assert row["price_euros"] is not None
+
+
+def test_etl_store_deterministic_and_delta_local(spark, tmp_path):
+    """Same store → byte-identical ETL output, and the incremental
+    (from_round) variant agrees with the full run on the rows it
+    covers — the EP2 daemon can run per-round at 10^10-URL scale."""
+    eng = _crawl(spark, str(tmp_path / "store"))
+    r = eng.store.last_round()
+
+    full = {tuple(row) for row in etl_from_store(spark, eng.store).collect()}
+    again = {tuple(row) for row in etl_from_store(spark, eng.store).collect()}
+    assert full == again
+
+    # split the log at the midpoint round: union of the two incremental
+    # runs == the full run (ads are keyed by URL; a detail URL succeeds
+    # in exactly one round, so the halves partition the ads)
+    mid = r // 2
+    lo = {
+        tuple(row)
+        for row in etl_from_store(spark, eng.store, up_to_round=mid).collect()
+    }
+    hi = {
+        tuple(row)
+        for row in etl_from_store(spark, eng.store, from_round=mid + 1).collect()
+    }
+    assert lo | hi == full
+    assert not (lo & hi)
