@@ -44,6 +44,7 @@ HEADLINE = [
     "d7_dedup_pipeline",  # LSH candidates → Jaccard verify → keeper
     "m2_phash_near_dup",  # 4-band Hamming near-dup (skew-guarded)
     "s3_ann_near_dup",  # star-to-representative ANN near-dup
+    "t5_corpus_prep",  # quality → langid → exact dedup → near-dup → corpus
 ]
 
 # single-shot timing couldn't distinguish a regression from noise

@@ -725,3 +725,200 @@ def s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = base.filter(F.col("vec_id") < 5)
     return ivf_ann(base, probes)
+
+
+# ---------------------------------------------------------------------------
+# t5 — the full corpus-preparation pipeline a training-data run chains:
+# quality filter → language ID → exact dedup → near-dup removal → kept
+# corpus. Each stage is the already-verified operator (t1's quality
+# exprs, t2's stopword-hit argmax, d1's fingerprint keeper, d7's
+# star-to-representative LSH) composed into ONE Catalyst plan, the way
+# C4/RefinedWeb-style preps run them in sequence.
+# ---------------------------------------------------------------------------
+
+_T5_MIN_TOKENS = 20
+# Gopher-style repetition rule: distinct-token ratio (the corpus is
+# all-lowercase a-z so alphabetic ratio can't discriminate — measured
+# ≡1.0; distinct/total spans 0.28-1.0 with p50 0.46)
+_T5_MIN_DISTINCT_RATIO = 0.35
+
+_T5_LANGS = ("de", "en", "es", "fr")
+
+
+def _t5_hits_sql(lang: str) -> str:
+    from .queries_ml import _LANG_MARKERS
+
+    arr = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_intersect(toks, [{arr}]))"
+
+
+_T5_SQL = f"""
+    corpus AS ({_MUT_SQL}),
+    q AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM corpus WHERE length(text) > 0
+    ),
+    ql AS (
+      SELECT doc_id, text, len(toks) AS n_tokens,
+             {_t5_hits_sql("de")} AS de_hits, {_t5_hits_sql("en")} AS en_hits,
+             {_t5_hits_sql("es")} AS es_hits, {_t5_hits_sql("fr")} AS fr_hits
+      FROM q
+      WHERE len(toks) >= {_T5_MIN_TOKENS}
+        AND len(list_distinct(toks))::DOUBLE / len(toks)
+              >= {_T5_MIN_DISTINCT_RATIO}
+    ),
+    lang AS (
+      SELECT doc_id, text, n_tokens,
+             CASE
+               WHEN de_hits >= en_hits AND de_hits >= es_hits
+                    AND de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+               WHEN en_hits >= es_hits AND en_hits >= fr_hits
+                    AND en_hits > 0 THEN 'en'
+               WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+               WHEN fr_hits > 0 THEN 'fr'
+               ELSE 'und'
+             END AS pred_lang
+      FROM ql
+    ),
+    kept_lang AS (SELECT * FROM lang WHERE pred_lang != 'und'),
+    exact AS (
+      SELECT doc_id, text, n_tokens, pred_lang, fp,
+             min(doc_id) OVER (PARTITION BY fp) AS fp_keeper
+      FROM (SELECT *, {_md5int_sql(_NORM_SQL)} AS fp FROM kept_lang)
+    ),
+    uniq AS (SELECT * FROM exact WHERE doc_id = fp_keeper),
+    grams AS (SELECT doc_id, {_GH_SQL} AS g FROM uniq),
+    sigs AS (SELECT doc_id, g, {_SIG_SQL} FROM grams),
+    starred AS (
+      SELECT doc_id, g,
+             min(doc_id) OVER (PARTITION BY {_B1_KEY}) AS bmin_1,
+             min(doc_id) OVER (PARTITION BY {_B2_KEY}) AS bmin_2
+      FROM sigs
+    ),
+    cands AS (
+      SELECT doc_id AS dup_id, g,
+             least(CASE WHEN bmin_1 < doc_id THEN bmin_1 END,
+                   CASE WHEN bmin_2 < doc_id THEN bmin_2 END) AS keeper
+      FROM starred
+    ),
+    dropped AS (
+      SELECT c.dup_id
+      FROM (SELECT * FROM cands WHERE keeper IS NOT NULL) c
+      JOIN grams k ON k.doc_id = c.keeper
+      WHERE CASE WHEN len(c.g) + len(k.g) - len(list_intersect(c.g, k.g)) > 0
+                 THEN len(list_intersect(c.g, k.g))::DOUBLE
+                      / (len(c.g) + len(k.g) - len(list_intersect(c.g, k.g)))
+            END >= 0.6
+    )
+"""
+
+
+@query(
+    "t5_corpus_prep",
+    oracle=f"""
+    WITH {_T5_SQL}
+    SELECT u.doc_id, u.pred_lang, u.n_tokens, u.fp
+    FROM uniq u LEFT JOIN dropped d ON d.dup_id = u.doc_id
+    WHERE d.dup_id IS NULL
+    """,
+)
+def t5_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus prep over the planted-duplicate corpus:
+    quality gate (≥20 tokens, Gopher-style distinct-token ratio ≥
+    0.35) → stopword-hit langid
+    (drop 'und') → exact dedup (min-doc_id keeper per normalized-text
+    fingerprint) → near-dup removal (d7's star-to-representative LSH +
+    exact Jaccard ≥ 0.6) → the kept corpus. One plan; the only joins
+    are the Jaccard-verify equi-join on the single candidate link per
+    doc and the final anti-join against the dropped set — never
+    all-pairs, so the chain keeps d7's linear scale shape."""
+    from .queries_ml import _LANG_MARKERS, tokens
+
+    corpus = _mut(spark, sf_dir).filter(F.length("text") > 0)
+    toks = tokens(F.col("text"))
+    q = corpus.select(
+        "doc_id", "text", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    ).filter(
+        (F.col("n_tokens") >= _T5_MIN_TOKENS)
+        & (
+            F.size(F.array_distinct(F.col("toks"))).cast("double")
+            / F.col("n_tokens")
+            >= _T5_MIN_DISTINCT_RATIO
+        )
+    )
+    hits = {
+        lang: F.size(
+            F.array_intersect(F.col("toks"), F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]]))
+        )
+        for lang in _T5_LANGS
+    }
+    de, en, es, fr = (hits[lang] for lang in _T5_LANGS)
+    pred = (
+        F.when((de >= en) & (de >= es) & (de >= fr) & (de > 0), "de")
+        .when((en >= es) & (en >= fr) & (en > 0), "en")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    lang = q.select("doc_id", "text", "n_tokens", pred.alias("pred_lang")).filter(
+        F.col("pred_lang") != "und"
+    )
+    w_fp = Window.partitionBy("fp")
+    uniq = (
+        lang.withColumn("fp", md5int(norm_text(F.col("text"))))
+        .withColumn("fp_keeper", F.min("doc_id").over(w_fp))
+        .filter(F.col("doc_id") == F.col("fp_keeper"))
+    )
+    grams = (
+        uniq.withColumn("__norm", norm_text(F.col("text")))
+        .select(
+            "doc_id",
+            "pred_lang",
+            "n_tokens",
+            "fp",
+            F.array_distinct(
+                F.transform(char_3grams(F.col("__norm")), lambda s: md5int(s))
+            ).alias("g"),
+        )
+        .cache()
+    )
+    sigs = grams.select(
+        "doc_id",
+        "g",
+        *[
+            F.array_min(
+                F.transform(F.col("g"), (lambda ck: (lambda h: h.bitwiseXOR(F.lit(ck))))(_C[k]))
+            ).alias(f"mh_{k}")
+            for k in range(_D7_PERMS)
+        ],
+    )
+    w1 = Window.partitionBy(*[f"mh_{k}" for k in range(0, 4)])
+    w2 = Window.partitionBy(*[f"mh_{k}" for k in range(4, 8)])
+    doc = F.col("doc_id")
+    cands = (
+        sigs.withColumn("bmin_1", F.min("doc_id").over(w1))
+        .withColumn("bmin_2", F.min("doc_id").over(w2))
+        .select(
+            doc.alias("dup_id"),
+            "g",
+            F.least(
+                F.when(F.col("bmin_1") < doc, F.col("bmin_1")),
+                F.when(F.col("bmin_2") < doc, F.col("bmin_2")),
+            ).alias("keeper"),
+        )
+        .filter(F.col("keeper").isNotNull())
+    )
+    k = grams.select(F.col("doc_id").alias("keeper"), F.col("g").alias("kg"))
+    inter = F.size(F.array_intersect(F.col("g"), F.col("kg")))
+    union_n = F.size(F.col("g")) + F.size(F.col("kg")) - inter
+    jac = F.when(union_n > 0, inter.cast("double") / union_n)
+    dropped = (
+        cands.join(k, "keeper")
+        .select("dup_id", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.6)
+        .select(F.col("dup_id").alias("doc_id"))
+    )
+    return grams.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "pred_lang", "n_tokens", "fp"
+    )
