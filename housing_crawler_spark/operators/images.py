@@ -119,17 +119,26 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _resize32(img: np.ndarray) -> np.ndarray:
-    """Deterministic 32x32 block-mean resize (area interpolation)."""
+def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic block-mean (area-interpolation) downscale to
+    (out_h, out_w), float64 output. Output dims must not exceed the
+    input's — upscale blocks would have zero area (the guard below
+    keeps the 32x32 phash path byte-compatible with sub-32px inputs,
+    where it intentionally yields 0-rows exactly as it always has)."""
     h, w = img.shape
-    ys = (np.arange(33) * h) // 32
-    xs = (np.arange(33) * w) // 32
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
     ii = np.cumsum(np.cumsum(img.astype(np.float64), 0), 1)
     ii = np.pad(ii, ((1, 0), (1, 0)))
     sums = ii[ys[1:], :][:, xs[1:]] - ii[ys[:-1], :][:, xs[1:]] - ii[ys[1:], :][:, xs[:-1]] + ii[ys[:-1], :][:, xs[:-1]]
     areas = np.outer(ys[1:] - ys[:-1], xs[1:] - xs[:-1]).astype(np.float64)
     areas[areas == 0] = 1.0
     return sums / areas
+
+
+def _resize32(img: np.ndarray) -> np.ndarray:
+    """Deterministic 32x32 block-mean resize (area interpolation)."""
+    return resize_area(img, 32, 32)
 
 
 def phash64(img: np.ndarray) -> int:

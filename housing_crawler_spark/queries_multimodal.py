@@ -264,3 +264,98 @@ def m5_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("w").alias("w"),
         F.min("h").alias("h"),
     )
+
+
+# m6 materializes per-image resize metadata so the per-fmt summary runs
+# in BOTH engines over the same rows (the m3/m5 pattern): only the
+# area-interpolation numpy kernel itself stays outside the oracle
+# (verified against a naive block-mean twin in tests/test_media.py).
+_M6_MAT = "/tmp/hcs_mat/m6_thumbs"
+_M6_TARGET = 64  # clamp per axis: thumbs never upscale
+
+
+@query(
+    "m6_image_resize",
+    oracle=f"""
+    SELECT fmt,
+           count(*)::BIGINT AS n,
+           count(DISTINCT thumb_phash)::BIGINT AS n_distinct_phash,
+           min(out_w) AS min_w, max(out_w) AS max_w,
+           min(out_h) AS min_h, max(out_h) AS max_h,
+           sum(CASE WHEN out_w = least(in_w, {_M6_TARGET})
+                     AND out_h = least(in_h, {_M6_TARGET})
+                    THEN 1 ELSE 0 END)::BIGINT AS n_dims_ok,
+           round(avg(mean_shift_x100) / 100 + 1e-9, 2) AS avg_mean_shift
+    FROM read_parquet('{_M6_MAT}/*.parquet')
+    GROUP BY fmt
+    """,
+)
+def m6_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail resize over the opaque image column: decode every
+    payload (numpy codecs in an Arrow stage), block-mean area-downscale
+    to ≤64px per axis, re-encode the thumbnail lossless (pngz) and
+    assert it round-trips bit-exactly in-stage; per-thumbnail metadata
+    (dims, phash, global-mean drift vs the original — area interpolation
+    should nearly preserve it) is materialized to parquet and the
+    per-fmt summary runs in both engines over that table."""
+    imgs = _image_table(spark, sf_dir)
+
+    def resize_batches(it):
+        import numpy as np
+
+        from .operators.images import decode, encode, phash64, resize_area
+
+        for pdf in it:
+            out = {
+                "image_id": [], "fmt": [], "in_w": [], "in_h": [],
+                "out_w": [], "out_h": [], "thumb_phash": [],
+                "mean_shift_x100": [],
+            }
+            for iid, buf, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                img, _ = decode(bytes(buf))
+                ow, oh = min(int(w), _M6_TARGET), min(int(h), _M6_TARGET)
+                thumb = np.clip(np.rint(resize_area(img, oh, ow)), 0, 255).astype(
+                    np.uint8
+                )
+                rt, rf = decode(encode(thumb, "pngz"))
+                assert rf == "pngz" and rt.tobytes() == thumb.tobytes()
+                # area mean over integer block boundaries drifts the
+                # global mean only slightly; whole-image invariant
+                shift = abs(float(thumb.mean()) - float(img.mean()))
+                assert shift <= 3.0, shift
+                out["image_id"].append(iid)
+                out["fmt"].append(fmt)
+                out["in_w"].append(int(w))
+                out["in_h"].append(int(h))
+                out["out_w"].append(thumb.shape[1])
+                out["out_h"].append(thumb.shape[0])
+                out["thumb_phash"].append(phash64(thumb))
+                # int so both engines aggregate exactly; 2dp precision
+                out["mean_shift_x100"].append(int(round(shift * 100)))
+            yield pd.DataFrame(out)
+
+    meta = imgs.mapInPandas(
+        resize_batches,
+        "image_id string, fmt string, in_w int, in_h int, out_w int, "
+        "out_h int, thumb_phash long, mean_shift_x100 long",
+    )
+    meta.write.mode("overwrite").parquet(_M6_MAT)
+    mat = spark.read.parquet(_M6_MAT)
+    dims_ok = (
+        (F.col("out_w") == F.least("in_w", F.lit(_M6_TARGET)))
+        & (F.col("out_h") == F.least("in_h", F.lit(_M6_TARGET)))
+    ).cast("int")
+    return mat.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("thumb_phash").alias("n_distinct_phash"),
+        F.min("out_w").alias("min_w"),
+        F.max("out_w").alias("max_w"),
+        F.min("out_h").alias("min_h"),
+        F.max("out_h").alias("max_h"),
+        F.sum(dims_ok).alias("n_dims_ok"),
+        F.round(F.avg("mean_shift_x100") / 100 + F.lit(1e-9), 2).alias(
+            "avg_mean_shift"
+        ),
+    )

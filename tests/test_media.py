@@ -88,3 +88,38 @@ def test_video_stub_rows_skipped(spark, sf_smoke):
     assert vids.filter(F.col("fmt") == "h264").count() > 0
     sampled = media.sample_frames(vids, every_k=5)
     assert sampled.filter(F.col("image_id").startswith("vid-0-")).count() == 0  # doc 0 is a stub
+
+
+# -- resize kernel (m6) ------------------------------------------------------
+
+
+def _naive_block_mean(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    h, w = img.shape
+    out = np.zeros((oh, ow))
+    for i in range(oh):
+        for j in range(ow):
+            y0, y1 = (i * h) // oh, ((i + 1) * h) // oh
+            x0, x1 = (j * w) // ow, ((j + 1) * w) // ow
+            out[i, j] = img[y0:y1, x0:x1].mean() if y1 > y0 and x1 > x0 else 0.0
+    return out
+
+
+def test_resize_area_matches_naive_twin():
+    from housing_crawler_spark.operators.images import resize_area
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    for h, w, oh, ow in [(100, 80, 64, 64), (64, 64, 64, 64), (37, 53, 16, 16), (128, 16, 32, 16)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        got = resize_area(img, oh, ow)
+        np.testing.assert_allclose(got, _naive_block_mean(img, oh, ow), atol=1e-9)
+
+
+def test_resize_area_preserves_phash_path():
+    """phash64 routes through resize_area(.., 32, 32); crawl parity
+    pins the hashes globally — this is the direct kernel check that the
+    parameterized refactor is the identity on the 32x32 path."""
+    from housing_crawler_spark.operators.images import _resize32, resize_area
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    img = rng.integers(0, 256, (75, 130)).astype(np.uint8)
+    np.testing.assert_array_equal(_resize32(img), resize_area(img, 32, 32))
