@@ -521,7 +521,12 @@ def m2_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by m1's in-stage invariants + crawl parity). The query rewrites the
 # parquet at call time (the table is a pure function of the seed and is
 # doc-capped, so it is identical at every sf), then reads it back.
-_M3_MAT = "/tmp/hcs_mat/m3_phash"
+import os as _os
+
+# pid-scoped so two sessions (e.g. the driver gate and a concurrent
+# pytest run) can never race on overwrite-vs-read of the same dir;
+# the oracle f-string captures the same value at import time
+_M3_MAT = f"/tmp/hcs_mat/m3_phash_{_os.getpid()}"
 _M3_BITS = 16
 _M3_MAXHAM = 16
 

@@ -1,0 +1,120 @@
+"""SURVEY S10 — the weekly model pipeline as oracle queries.
+
+The reference's train_model_weeks.py loops over ISO weeks, re-reads
+the full ads table, trains a log-target sklearn pipeline per week on
+everything strictly earlier, and pickles each model; app.py later
+loads the pickle to predict. sources/models.py re-expresses that as
+one cumulative-window pass (closed-form OLS) plus a parquet artifact
+table; these queries pin both halves against DuckDB over the same
+deterministic synthetic ads table the per-stage ETL oracles use
+(queries_etl_pipeline.build_raw_ads from orders).
+
+Week tag parity: Spark derives the ISO year from the week's Thursday
+(no isoyear builtin); DuckDB uses isoyear() directly — a14 already
+pins weekofyear() equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .queries_etl_pipeline import _RAW_SQL, _raw_ads_df
+from .sources.models import apply_weekly_models, tag_ads, train_weekly_models
+
+# shared base: parse the two published_on formats, keep modelable rows
+_BASE_SQL = f"""
+    {_RAW_SQL},
+    base AS (
+      SELECT id, price_euros, size_sqm,
+             CASE WHEN contains(published_on, '.')
+                  THEN strptime(published_on, '%d.%m.%Y')::DATE
+                  ELSE strptime(published_on, '%Y-%m-%d')::DATE
+             END AS pub
+      FROM raw
+      WHERE price_euros > 0 AND size_sqm IS NOT NULL
+    ),
+    tagged AS (
+      SELECT id, price_euros, size_sqm,
+             isoyear(pub) * 100 + weekofyear(pub) AS wk
+      FROM base
+    ),
+    weekly AS (
+      SELECT wk, count(*) AS n,
+             sum(ln(price_euros)) AS sy,
+             sum(size_sqm::DOUBLE) AS sx,
+             sum(size_sqm::DOUBLE * ln(price_euros)) AS sxy,
+             sum(size_sqm::DOUBLE * size_sqm::DOUBLE) AS sxx
+      FROM tagged GROUP BY wk
+    ),
+    cum AS (
+      SELECT wk,
+             sum(n)   OVER w AS cn,
+             sum(sy)  OVER w AS csy,
+             sum(sx)  OVER w AS csx,
+             sum(sxy) OVER w AS csxy,
+             sum(sxx) OVER w AS csxx
+      FROM weekly
+      WINDOW w AS (ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    models AS (
+      SELECT wk, cn::BIGINT AS n_train,
+             (cn * csxy - csx * csy) / (cn * csxx - csx * csx) AS slope,
+             (csy - (cn * csxy - csx * csy) / (cn * csxx - csx * csx) * csx)
+               / cn AS intercept
+      FROM cum
+      WHERE cn >= 2 AND cn * csxx - csx * csx > 0
+    )
+"""
+
+
+def _tagged_ads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tag_ads(_raw_ads_df(spark, sf_dir))
+
+
+@query(
+    "v1_weekly_model_train",
+    oracle=f"""
+    WITH {_BASE_SQL}
+    SELECT wk, n_train,
+           round(slope + 1e-9, 4) AS slope,
+           round(intercept + 1e-9, 4) AS intercept
+    FROM models
+    """,
+)
+def v1_weekly_model_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ISO week's walk-forward log-target price model in ONE
+    window pass (vs the reference's per-week full-table re-scan loop).
+    Output = the model-artifact table sources/models.write_models
+    persists."""
+    models = train_weekly_models(_tagged_ads(spark, sf_dir))
+    return models.select(
+        "wk",
+        "n_train",
+        F.round(F.col("slope") + F.lit(1e-9), 4).alias("slope"),
+        F.round(F.col("intercept") + F.lit(1e-9), 4).alias("intercept"),
+    )
+
+
+@query(
+    "v2_weekly_model_apply",
+    oracle=f"""
+    WITH {_BASE_SQL}
+    SELECT t.id, t.wk,
+           round(exp(m.intercept + m.slope * t.size_sqm::DOUBLE) + 1e-9, 2)
+             AS pred_price
+    FROM tagged t JOIN models m ON m.wk = t.wk
+    """,
+)
+def v2_weekly_model_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply each ad's OWN week's model (broadcast coefficient join —
+    the reference's row-wise model.predict lambda,
+    ads_table_processing.py:97-102, as a native expression).
+    Predictions for week w only ever see models fit on weeks < w."""
+    ads = _tagged_ads(spark, sf_dir)
+    models = train_weekly_models(ads)
+    out = apply_weekly_models(ads, models)
+    return out.select(
+        "id", "wk", F.round(F.col("pred") + F.lit(1e-9), 2).alias("pred_price")
+    )

@@ -228,7 +228,10 @@ def m4_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_media.py). Constant path: the frame table is a pure
 # function of the seed (doc-capped), identical at every sf, and the
 # query rewrites it at call time before the oracle reads it.
-_M5_MAT = "/tmp/hcs_mat/m5_frames"
+import os as _os
+
+# pid-scoped: see queries_ml2._M3_MAT
+_M5_MAT = f"/tmp/hcs_mat/m5_frames_{_os.getpid()}"
 _M5_VID_RE = "^(vid-[0-9]+)-f"
 
 
@@ -270,7 +273,7 @@ def m5_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in BOTH engines over the same rows (the m3/m5 pattern): only the
 # area-interpolation numpy kernel itself stays outside the oracle
 # (verified against a naive block-mean twin in tests/test_media.py).
-_M6_MAT = "/tmp/hcs_mat/m6_thumbs"
+_M6_MAT = f"/tmp/hcs_mat/m6_thumbs_{_os.getpid()}"
 _M6_TARGET = 64  # clamp per axis: thumbs never upscale
 
 

@@ -19,6 +19,9 @@ Subcommands:
            a crawl snapshot store's detail fetch output (ads_bridge) →
            wide analytics table parquet; --from-round gives the
            incremental (delta-local) variant
+  train-models  walk-forward weekly price models (reference
+           train_model_weeks.py daemon): one cumulative-window OLS pass
+           over a raw-ads parquet → model-artifact parquet table
   query    run one registered query by name against an sf dir and show
            the first rows
 
@@ -91,6 +94,19 @@ def cmd_etl_store(args) -> None:
     print(json.dumps({"rows": spark.read.parquet(args.output).count(), "output": args.output}))
 
 
+def cmd_train_models(args) -> None:
+    from housing_crawler_spark.sources.models import (
+        tag_ads,
+        train_weekly_models,
+        write_models,
+    )
+
+    spark = _spark(args)
+    models = train_weekly_models(tag_ads(spark.read.parquet(args.input)))
+    write_models(models, args.output)
+    print(json.dumps({"models": spark.read.parquet(args.output).count(), "output": args.output}))
+
+
 def cmd_query(args) -> None:
     from housing_crawler_spark.all_queries import REGISTRY
 
@@ -127,6 +143,14 @@ def main() -> None:
     s.add_argument("--grid", nargs="*", default=None, help="grid geojson path(s)")
     s.add_argument("--cell-geometry", choices=("rect", "bowtie"), default="rect")
     s.set_defaults(fn=cmd_etl_store)
+
+    t = sub.add_parser(
+        "train-models",
+        help="walk-forward weekly price models (reference EP3) → parquet artifact table",
+    )
+    t.add_argument("--input", required=True, help="raw-ads parquet")
+    t.add_argument("--output", required=True, help="model artifact parquet")
+    t.set_defaults(fn=cmd_train_models)
 
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")

@@ -1,0 +1,62 @@
+"""SURVEY S10 — weekly model pipeline: walk-forward purity vs a numpy
+OLS twin, artifact-store round-trip, and the no-leak guarantee."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from housing_crawler_spark.queries_etl_pipeline import _raw_ads_df
+from housing_crawler_spark.sources.models import (
+    apply_weekly_models,
+    read_models,
+    tag_ads,
+    train_weekly_models,
+    write_models,
+)
+
+
+def _fit_numpy(rows, wk):
+    train = [(r["size_sqm"], math.log(r["price_euros"])) for r in rows if r["wk"] < wk]
+    x = np.array([t[0] for t in train], dtype=float)
+    y = np.array([t[1] for t in train], dtype=float)
+    n = len(x)
+    denom = n * (x * x).sum() - x.sum() ** 2
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / denom
+    return slope, (y.sum() - slope * x.sum()) / n
+
+
+def test_walk_forward_matches_numpy_twin(spark, sf_smoke):
+    tagged = tag_ads(_raw_ads_df(spark, sf_smoke))
+    rows = tagged.collect()
+    models = {m["wk"]: m for m in train_weekly_models(tagged).collect()}
+    assert len(models) > 5
+    weeks = sorted(models)
+    # every model = a direct OLS on strictly-earlier rows
+    for wk in (weeks[0], weeks[len(weeks) // 2], weeks[-1]):
+        slope, intercept = _fit_numpy(rows, wk)
+        assert abs(models[wk]["slope"] - slope) < 1e-9, wk
+        assert abs(models[wk]["intercept"] - intercept) < 1e-9, wk
+        assert models[wk]["n_train"] == sum(1 for r in rows if r["wk"] < wk)
+    # the earliest week present has no earlier data → no model (no leak)
+    first_wk = min(r["wk"] for r in rows)
+    assert first_wk not in models
+
+
+def test_artifact_roundtrip_and_apply(spark, sf_smoke, tmp_path):
+    tagged = tag_ads(_raw_ads_df(spark, sf_smoke))
+    models = train_weekly_models(tagged)
+    path = str(tmp_path / "models.parquet")
+    write_models(models, path)
+    back = read_models(spark, path)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in models.collect()}
+
+    preds = apply_weekly_models(tagged, back).collect()
+    assert len(preds) > 0
+    model_weeks = {m["wk"] for m in models.collect()}
+    assert {p["wk"] for p in preds} <= model_weeks
+    for p in preds[:50]:
+        want = math.exp(p["intercept"] + p["slope"] * p["size_sqm"])
+        assert abs(p["pred"] - want) < 1e-6
