@@ -59,7 +59,13 @@ def train_weekly_models(
 ) -> DataFrame:
     """Walk-forward weekly log-target OLS: for every week present, fit
     ln(y) = intercept + slope·x on ALL rows of strictly earlier weeks.
-    Input needs positive ``y``, non-null ``x``, and an int week tag."""
+    Input needs positive ``y``, non-null ``x``, and an int week tag.
+
+    Scale shape: the ads table reduces map-side to per-week sufficient
+    statistics FIRST (one shuffle on wk), so the unpartitioned
+    cumulative window only ever sees |weeks| rows (a few thousand for
+    decades of data) — the single-partition window is over the tiny
+    aggregate, never the facts."""
     xe = F.col(x).cast("double")
     ye = F.log(F.col(y).cast("double"))
     weekly = ads.groupBy(wk).agg(
