@@ -122,6 +122,28 @@ class SnapshotStore:
             return None
         return spark.read.parquet(*paths)
 
+    # -- rollback ----------------------------------------------------------
+
+    def rollback(self, to_round: int) -> list[int]:
+        """Iceberg-style rollback: atomically truncate the commit log to
+        rounds ≤ ``to_round``. Readers see the store exactly as it was
+        after ``to_round`` committed, and a resumed engine continues
+        from there (round r+1 rewrites the orphaned snap-/delta- dirs
+        via overwrite, so no cleanup pass is required — the same
+        reasoning that makes uncommitted dirs invisible,
+        test_commit_log_is_atomic). Returns the discarded rounds."""
+        commits = self.commits()
+        keep = [c for c in commits if c["round"] <= to_round]
+        dropped = [c["round"] for c in commits if c["round"] > to_round]
+        if not keep:
+            raise ValueError(f"no committed round <= {to_round} to roll back to")
+        if dropped:
+            tmp = self._commits_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(keep, f, indent=1)
+            os.replace(tmp, self._commits_path())
+        return dropped
+
     def latest_snapshot_round(self, table: str, up_to_round: int) -> int | None:
         """Round of the most recent committed full snapshot of ``table``."""
         best = None

@@ -68,3 +68,33 @@ def test_commit_log_is_atomic(spark, tmp_path):
     eng2 = CrawlEngine(spark, store, WORLD, EngineConfig())
     eng2.run(3)  # retries round 3, overwriting the orphan
     assert store.last_round() == 3
+
+
+def test_rollback_then_resume_bit_identical(spark, tmp_path):
+    """Iceberg-style rollback (SURVEY §7.0 storage API): truncating the
+    commit log to round k and resuming must equal an uninterrupted run
+    — the orphaned post-k dirs are invisible and get overwritten."""
+    seed, robots = synth.seed_frontier_rows(WORLD), synth.robots_rows(WORLD)
+
+    full = CrawlEngine(spark, SnapshotStore(str(tmp_path / "full")), WORLD, EngineConfig())
+    full.init_state(seed, robots)
+    full.run(N_ROUNDS)
+
+    store_b = SnapshotStore(str(tmp_path / "rb"))
+    other = CrawlEngine(spark, store_b, WORLD, EngineConfig())
+    other.init_state(seed, robots)
+    other.run(N_ROUNDS)
+
+    dropped = store_b.rollback(KILL_AFTER)
+    assert dropped == list(range(KILL_AFTER + 1, N_ROUNDS + 1))
+    assert store_b.last_round() == KILL_AFTER
+    assert store_b.rollback(KILL_AFTER) == []  # idempotent no-op
+
+    resumed = CrawlEngine(spark, SnapshotStore(str(tmp_path / "rb")), WORLD, EngineConfig())
+    resumed.run(N_ROUNDS)
+    assert _state_digest(full, N_ROUNDS) == _state_digest(resumed, N_ROUNDS)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store_b.rollback(-1)
