@@ -161,6 +161,28 @@ def make_frame_sample_stage(every_k: int = 5, on_stub: str = "skip"):
     return stage
 
 
+def audio_fingerprint64(x: np.ndarray) -> int:
+    """64-bit audio fingerprint as SIGNED int64 (the chromaprint idea
+    at its smallest: energy-delta signs): the clip splits into 65
+    equal frames, bit k = energy(frame k+1) > energy(frame k). Signs
+    of energy DELTAS are invariant under uniform gain, so a re-levelled
+    copy of a clip fingerprints identically and small additive noise
+    flips only the near-tied bits — exactly the locality the banded
+    Hamming join needs."""
+    n = len(x)
+    xf = x.astype(np.float64)
+    bounds = (np.arange(66) * n) // 65
+    sq = np.concatenate(([0.0], np.cumsum(xf * xf)))
+    sums = sq[bounds[1:]] - sq[bounds[:-1]]
+    widths = np.maximum(bounds[1:] - bounds[:-1], 1)
+    e = sums / widths
+    bits = (e[1:] > e[:-1]).astype(np.uint64)
+    word = np.uint64(0)
+    for b in bits:
+        word = (word << np.uint64(1)) | b
+    return int(word.astype(np.int64))
+
+
 def audio_features(audio: DataFrame, on_stub: str = "skip") -> DataFrame:
     return audio.mapInPandas(make_audio_features_stage(on_stub), AUDIO_FEATURES_SCHEMA)
 

@@ -568,6 +568,82 @@ def m3_phash_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# m7 — the same banded-Hamming core over AUDIO fingerprints, closing
+# the near-dup family across modalities (text d7, embeddings s3,
+# images m2/m3, audio m7). The fingerprint is energy-delta signs
+# (operators/media.audio_fingerprint64) — invariant under uniform gain,
+# locally stable under additive noise — produced in an Arrow stage and
+# materialized so the join runs in both engines (the m3 pattern).
+_M7_MAT = f"/tmp/hcs_mat/m7_audiofp_{_os.getpid()}"
+_M7_MAXHAM = 16
+
+
+@query(
+    "m7_audio_near_dup",
+    oracle=f"""
+    WITH imgs AS (
+      SELECT image_key, phash FROM read_parquet('{_M7_MAT}/*.parquet')
+    ),
+    {", ".join(_band_cte_sql(k, _M3_BITS) for k in range(_N_BANDS))},
+    cands AS (
+      SELECT DISTINCT img_a, img_b, ph_a, ph_b FROM (
+        {" UNION ALL ".join(_band_union_sql(k) for k in range(_N_BANDS))}
+      )
+    )
+    SELECT img_a, img_b, bit_count(xor(ph_a, ph_b)) AS hamming
+    FROM cands
+    WHERE bit_count(xor(ph_a, ph_b)) <= {_M7_MAXHAM}
+    """,
+)
+def m7_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup: pcm16 clips → 64-bit energy-delta fingerprints
+    (Arrow stage; stubs skipped) with planted twins — every 4th clip a
+    re-levelled copy (uniform 1.02 gain → IDENTICAL fingerprint, the
+    guaranteed catch) and every 10th a gain+noise copy (a few near-tied
+    bits flip — the realistic catch) — then the shared 4×16-bit banded
+    Hamming join over the materialized table in both engines."""
+
+    def fp_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from .operators.media import AUDIO_STUB_FMTS, audio_fingerprint64, decode_audio
+
+        for pdf in it:
+            out = {"image_key": [], "phash": []}
+            for aid, buf, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt in AUDIO_STUB_FMTS:
+                    continue
+                x, _rate = decode_audio(bytes(buf), fmt)
+                out["image_key"].append(aid)
+                out["phash"].append(audio_fingerprint64(x))
+                doc = int(aid.rsplit("-", 1)[1])
+                if doc % 4 == 0:
+                    out["image_key"].append(f"{aid}~gain")
+                    out["phash"].append(audio_fingerprint64(x.astype(np.float32) * 1.02))
+                if doc % 10 == 3:
+                    rng = np.random.Generator(np.random.PCG64(doc + 777))
+                    noisy = x.astype(np.float32) * 1.02 + rng.normal(
+                        0, 120, len(x)
+                    ).astype(np.float32)
+                    out["image_key"].append(f"{aid}~noise")
+                    out["phash"].append(audio_fingerprint64(noisy))
+            yield pd.DataFrame(out)
+
+    from .queries_multimodal import _audio_table
+
+    fps = _audio_table(spark, sf_dir).mapInPandas(
+        fp_batches, "image_key string, phash long"
+    )
+    fps.write.mode("overwrite").parquet(_M7_MAT)
+    return _banded_hamming(
+        spark.read.parquet(_M7_MAT),
+        band_bits=_M3_BITS,
+        n_bands=_N_BANDS,
+        max_hamming=_M7_MAXHAM,
+    )
+
+
 # ---------------------------------------------------------------------------
 # s4 — IVF ANN: k-means coarse quantizer (deterministic seed = first K
 # vectors), probes scan the inverted lists of their nprobe nearest

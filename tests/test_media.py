@@ -123,3 +123,31 @@ def test_resize_area_preserves_phash_path():
     rng = np.random.Generator(np.random.PCG64(11))
     img = rng.integers(0, 256, (75, 130)).astype(np.uint8)
     np.testing.assert_array_equal(_resize32(img), resize_area(img, 32, 32))
+
+
+# -- audio fingerprint (m7) --------------------------------------------------
+
+
+def test_audio_fingerprint_matches_naive_twin_and_gain_invariance():
+    from housing_crawler_spark.operators.media import audio_fingerprint64
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    n = 13000
+    t = np.arange(n, dtype=np.float32)
+    x = (8000 * np.sin(2 * np.pi * 440 * t / 16000)
+         + 2000 * np.sin(2 * np.pi * 3 * t / n)  # slow energy envelope
+         + 300 * rng.standard_normal(n, dtype=np.float32))
+    x = np.clip(x, -32768, 32767).astype(np.int16)
+
+    # naive twin: per-frame mean energy, bit = E[k+1] > E[k], MSB-first
+    xf = x.astype(np.float64)
+    bounds = (np.arange(66) * n) // 65
+    e = [np.mean(xf[bounds[i]:bounds[i + 1]] ** 2) for i in range(65)]
+    want = 0
+    for i in range(64):
+        want = (want << 1) | int(e[i + 1] > e[i])
+    want = want - (1 << 64) if want >= (1 << 63) else want
+    assert audio_fingerprint64(x) == want
+
+    # uniform gain preserves every energy-delta sign → identical fp
+    assert audio_fingerprint64(x.astype(np.float32) * 1.37) == audio_fingerprint64(x)
