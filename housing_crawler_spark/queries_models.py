@@ -78,8 +78,8 @@ def _tagged_ads(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_BASE_SQL}
     SELECT wk, n_train,
-           round(slope + 1e-9, 4) AS slope,
-           round(intercept + 1e-9, 4) AS intercept
+           round(slope + 1e-9, 4) + 0.0 AS slope,
+           round(intercept + 1e-9, 4) + 0.0 AS intercept
     FROM models
     """,
 )
@@ -89,11 +89,16 @@ def v1_weekly_model_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output = the model-artifact table sources/models.write_models
     persists."""
     models = train_weekly_models(_tagged_ads(spark, sf_dir))
+    # + 0.0 AFTER the round canonicalizes signed zero (IEEE: -0.0 + 0.0
+    # = +0.0) — a tiny-negative slope otherwise rounds to -0.0 on one
+    # engine and 0.0 on the other and fails the driver's value hash.
     return models.select(
         "wk",
         "n_train",
-        F.round(F.col("slope") + F.lit(1e-9), 4).alias("slope"),
-        F.round(F.col("intercept") + F.lit(1e-9), 4).alias("intercept"),
+        (F.round(F.col("slope") + F.lit(1e-9), 4) + F.lit(0.0)).alias("slope"),
+        (F.round(F.col("intercept") + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+            "intercept"
+        ),
     )
 
 
@@ -103,7 +108,7 @@ def v1_weekly_model_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_BASE_SQL}
     SELECT t.id, t.wk,
            round(exp(m.intercept + m.slope * t.size_sqm::DOUBLE) + 1e-9, 2)
-             AS pred_price
+             + 0.0 AS pred_price
     FROM tagged t JOIN models m ON m.wk = t.wk
     """,
 )
@@ -116,5 +121,9 @@ def v2_weekly_model_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     models = train_weekly_models(ads)
     out = apply_weekly_models(ads, models)
     return out.select(
-        "id", "wk", F.round(F.col("pred") + F.lit(1e-9), 2).alias("pred_price")
+        "id",
+        "wk",
+        (F.round(F.col("pred") + F.lit(1e-9), 2) + F.lit(0.0)).alias(
+            "pred_price"
+        ),
     )
