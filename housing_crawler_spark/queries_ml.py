@@ -15,6 +15,9 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -526,13 +529,25 @@ def _bucket_sql(emb: str) -> str:
     return " + ".join(terms)
 
 
-def _plane_col(k: int) -> Column:
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(64)),
-        lambda j: (
-            (md5int(F.concat(F.lit(f"{k}:"), j.cast("string"))) % 1001) - 500
-        ).cast("double"),
+@lru_cache(maxsize=None)
+def _plane_values(k: int) -> tuple[float, ...]:
+    """Driver-side twin of _plane_sql: plane[k][j] for j in 1..64.
+
+    The planes are pure functions of (k, j), but Catalyst does not
+    constant-fold the transform(sequence(...), md5 ...) generator — the
+    round-3 verdict verified md5 surviving in the optimized plan, i.e.
+    512 (s2) / 1,536 (s3) hash+conv evaluations PER ROW in the
+    bucketing stage. Computing the 64 values here (hashlib, same
+    formula) and emitting a literal array removes that ~100x constant
+    factor; values, buckets, and the SQL oracles are unchanged."""
+    return tuple(
+        float(int(hashlib.md5(f"{k}:{j}".encode()).hexdigest()[:15], 16) % 1001 - 500)
+        for j in range(1, 65)
     )
+
+
+def _plane_col(k: int) -> Column:
+    return F.array(*[F.lit(v) for v in _plane_values(k)])
 
 
 def _bucket_col(emb: Column) -> Column:

@@ -108,6 +108,38 @@ def test_d7_joins_are_equi(spark, sf_smoke):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_lsh_planes_are_folded_constants(spark, sf_smoke):
+    """The LSH hyperplanes are pure functions of (k, j). Catalyst does
+    not constant-fold a transform(sequence(...), md5 ...) generator —
+    the round-3 audit measured 512 (s2) / 1,536 (s3) md5+conv evals PER
+    ROW in the bucketing stage. _plane_col now emits driver-computed
+    literal arrays, so NO md5 may survive in either optimized plan
+    (the only md5s in these queries were the plane salts)."""
+    for name in ("s2_ann_lsh_bucketed", "s3_ann_near_dup"):
+        df = REGISTRY[name].fn(spark, sf_smoke)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "md5" not in plan, name
+
+
+def test_plane_values_match_sql_formula():
+    """_plane_values must stay the hashlib twin of _plane_sql's
+    (md5int('k:j') % 1001) - 500 or the oracle parity silently breaks."""
+    import hashlib
+
+    from housing_crawler_spark.queries_ml import _plane_values
+
+    for k in (0, 7, 23):
+        vals = _plane_values(k)
+        assert len(vals) == 64
+        for j in (1, 32, 64):
+            expect = float(
+                int(hashlib.md5(f"{k}:{j}".encode()).hexdigest()[:15], 16) % 1001
+                - 500
+            )
+            assert vals[j - 1] == expect
+        assert min(vals) >= -500.0 and max(vals) <= 500.0
+
+
 def test_s3_star_shape_is_linear_on_template_heavy_corpus(spark):
     """The round-2 s3 did a within-bucket all-pairs self-join: a corpus
     where one template floods a bucket emitted ~n^2/buckets candidate
