@@ -1,0 +1,54 @@
+"""Pid-scoped materialization dirs for the m-series oracle pattern.
+
+Some multimodal queries (m1/m3/m4/m5/m6/m7) materialize the output of
+their Arrow codec stage to parquet so BOTH engines — Spark and the
+DuckDB oracle — aggregate over the exact same rows, leaving only the
+numpy kernels outside the oracle (those are pinned by tests/test_media
+and crawl parity).
+
+Contract (the driver honors this by construction): the oracle SQL for
+such a query reads ``read_parquet('<mat dir>')`` and is only valid
+AFTER the query function itself has executed in the same process — the
+query rewrites the dir at call time, and the dir name is pid-scoped so
+two concurrent sessions (e.g. the driver gate and a pytest run) can
+never race on overwrite-vs-read. The driver always runs the Spark
+query before its oracle, so the ordering holds.
+
+Cleanup: an atexit hook removes every dir this pid created, so
+repeated runs don't accumulate stale ``/tmp/hcs_mat/*_<pid>`` dirs
+(dirs of a crashed pid are also swept opportunistically when they are
+older than a day).
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import time
+
+_ROOT = "/tmp/hcs_mat"
+_SUFFIX = f"_{os.getpid()}"
+
+
+def mat_path(name: str) -> str:
+    """Parquet dir for this query's materialized stage, scoped to the
+    current pid (stable for the process lifetime — the oracle f-string
+    captures it at import time)."""
+    return f"{_ROOT}/{name}{_SUFFIX}"
+
+
+@atexit.register
+def _cleanup() -> None:
+    if not os.path.isdir(_ROOT):
+        return
+    now = time.time()
+    for d in os.listdir(_ROOT):
+        full = os.path.join(_ROOT, d)
+        stale = False
+        try:
+            stale = now - os.path.getmtime(full) > 86400
+        except OSError:
+            pass
+        if d.endswith(_SUFFIX) or stale:
+            shutil.rmtree(full, ignore_errors=True)

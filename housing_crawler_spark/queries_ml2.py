@@ -521,12 +521,11 @@ def m2_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by m1's in-stage invariants + crawl parity). The query rewrites the
 # parquet at call time (the table is a pure function of the seed and is
 # doc-capped, so it is identical at every sf), then reads it back.
-import os as _os
+# Paths are pid-scoped with atexit cleanup and a documented
+# query-before-oracle ordering contract — see matpaths.py.
+from .matpaths import mat_path as _mat_path
 
-# pid-scoped so two sessions (e.g. the driver gate and a concurrent
-# pytest run) can never race on overwrite-vs-read of the same dir;
-# the oracle f-string captures the same value at import time
-_M3_MAT = f"/tmp/hcs_mat/m3_phash_{_os.getpid()}"
+_M3_MAT = _mat_path("m3_phash")
 _M3_BITS = 16
 _M3_MAXHAM = 16
 
@@ -574,7 +573,7 @@ def m3_phash_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/media.audio_fingerprint64) — invariant under uniform gain,
 # locally stable under additive noise — produced in an Arrow stage and
 # materialized so the join runs in both engines (the m3 pattern).
-_M7_MAT = f"/tmp/hcs_mat/m7_audiofp_{_os.getpid()}"
+_M7_MAT = _mat_path("m7_audiofp")
 _M7_MAXHAM = 16
 
 

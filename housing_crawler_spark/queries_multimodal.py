@@ -1,10 +1,12 @@
 """Multimodal-column operators: opaque binary image payloads with typed
 metadata, decoded/feature-extracted inside Arrow-batched UDF stages.
 
-These queries carry no SQL oracle (binary codecs aren't expressible in
-ANSI SQL) → the driver records the weaker rows-only check; the strong
-correctness evidence is tests/test_crawl_parity.py (byte-identical
-images vs the simulator) and the PSNR/lossless invariants below. The
+Binary codecs aren't expressible in ANSI SQL, so each query here
+materializes its Arrow stage's per-row output to parquet and runs the
+summary aggregation in BOTH engines over that table (the matpaths.py
+contract) — only the numpy kernels stay outside the oracle, pinned by
+tests/test_media.py twins and tests/test_crawl_parity.py
+(byte-identical images vs the simulator). The
 banded-Hamming near-dup scan over phash lives in queries_ml2.py:
 m2_phash_near_dup (SQL-verifiable planted hashes) and
 m3_phash_image_near_dup (real image hashes from this table).
@@ -65,12 +67,35 @@ def _image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen_batches, schemas.IMAGES)
 
 
-@query("m1_image_decode_stats", oracle=None)
+# m1 materializes the per-image decode verdicts (the m3/m5/m6 pattern:
+# pid-scoped dir, query-before-oracle ordering — see matpaths.py) so
+# the per-fmt summary runs in BOTH engines over the same rows; only the
+# numpy codec kernels stay outside the oracle (tests/test_media +
+# crawl parity). PSNR is stored as integer centi-dB so both engines'
+# averages are exact integer sums (no float-summation order drift).
+from .matpaths import mat_path as _mat_path
+
+_M1_MAT = _mat_path("m1_decode")
+
+
+@query(
+    "m1_image_decode_stats",
+    oracle=f"""
+    SELECT fmt,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+           round(avg(psnr_x100) / 100 + 1e-9, 2) AS avg_psnr_db,
+           round(avg(n_pixels) + 1e-9, 1) AS avg_pixels
+    FROM read_parquet('{_M1_MAT}/*.parquet')
+    GROUP BY fmt
+    """,
+)
 def m1_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode every payload (mapInPandas, numpy codecs) and verify the
     per-row invariants distributed-side: lossless → bit-exact pixels &
     exact phash; lossy (dctq) → PSNR vs re-generated original ≥ 40 dB.
-    Returns per-fmt pass/fail counts + PSNR stats."""
+    Per-image verdicts are materialized to parquet and the per-fmt
+    summary runs in both engines over that table."""
     imgs = _image_table(spark, sf_dir)
 
     def decode_batches(it):
@@ -79,9 +104,9 @@ def m1_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .operators.images import LOSSLESS, decode, phash64, psnr
 
         for pdf in it:
-            out = {"fmt": [], "ok": [], "psnr_db": [], "n_pixels": []}
-            for buf, fmt, w, h, ph in zip(
-                pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"], pdf["phash"]
+            out = {"image_id": [], "fmt": [], "ok": [], "psnr_x100": [], "n_pixels": []}
+            for iid, buf, fmt, w, h, ph in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"], pdf["phash"]
             ):
                 img, f2 = decode(bytes(buf))
                 ok = f2 == fmt and img.shape == (h, w)
@@ -94,20 +119,24 @@ def m1_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
                     p = psnr(img, decode(encode(img, "dctq"))[0])
                     ok = ok and p >= 40.0
+                out["image_id"].append(iid)
                 out["fmt"].append(fmt)
                 out["ok"].append(bool(ok))
-                out["psnr_db"].append(None if np.isinf(p) else round(p, 2))
+                out["psnr_x100"].append(None if np.isinf(p) else int(round(p * 100)))
                 out["n_pixels"].append(int(w) * int(h))
             yield pd.DataFrame(out)
 
     decoded = imgs.mapInPandas(
-        decode_batches, "fmt string, ok boolean, psnr_db double, n_pixels long"
+        decode_batches,
+        "image_id string, fmt string, ok boolean, psnr_x100 long, n_pixels long",
     )
-    return decoded.groupBy("fmt").agg(
+    decoded.write.mode("overwrite").parquet(_M1_MAT)
+    mat = spark.read.parquet(_M1_MAT)
+    return mat.groupBy("fmt").agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
-        F.round(F.avg("psnr_db"), 2).alias("avg_psnr_db"),
-        F.round(F.avg("n_pixels"), 1).alias("avg_pixels"),
+        F.round(F.avg("psnr_x100") / 100 + F.lit(1e-9), 2).alias("avg_psnr_db"),
+        F.round(F.avg("n_pixels") + F.lit(1e-9), 1).alias("avg_pixels"),
     )
 
 
@@ -204,20 +233,50 @@ def _video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, VIDEO_SCHEMA)
 
 
-@query("m4_audio_features", oracle=None)
+# m4 materializes the per-clip features integer-scaled (µs / rms×1000 /
+# zcr×10^6) so both engines' averages reduce to exact integer sums —
+# the same materialization contract as m1 (matpaths.py).
+_M4_MAT = _mat_path("m4_audiofeat")
+
+
+@query(
+    "m4_audio_features",
+    oracle=f"""
+    SELECT fmt,
+           count(*)::BIGINT AS n,
+           round(avg(dur_us) / 1e6 + 1e-9, 3) AS avg_duration_s,
+           round(avg(rms_x1000) / 1000 + 1e-9, 1) AS avg_rms,
+           round(avg(zcr_x1e6) / 1e6 + 1e-9, 4) AS avg_zcr,
+           max(peak) AS max_peak
+    FROM read_parquet('{_M4_MAT}/*.parquet')
+    GROUP BY fmt
+    """,
+)
 def m4_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction over opaque binary payloads: pcm16 rows
     get real (duration, rms, zero-crossing, peak); mp3 stub rows flow
-    through with NULL features (rows-only: the codec isn't expressible
-    in SQL; invariants asserted in tests/test_media.py)."""
+    through with NULL features. Per-clip features are materialized to
+    parquet (integer-scaled) and the per-fmt summary runs in both
+    engines over that table; the numpy kernels stay pinned by
+    tests/test_media.py's bit-exact round-trip twins."""
     from .operators.media import audio_features
 
     feats = audio_features(_audio_table(spark, sf_dir))
-    return feats.groupBy("fmt").agg(
+    scaled = feats.select(
+        "audio_id",
+        "fmt",
+        F.round(F.col("duration_s") * 1e6, 0).cast("long").alias("dur_us"),
+        F.round(F.col("rms") * 1000, 0).cast("long").alias("rms_x1000"),
+        F.round(F.col("zero_cross_rate") * 1e6, 0).cast("long").alias("zcr_x1e6"),
+        "peak",
+    )
+    scaled.write.mode("overwrite").parquet(_M4_MAT)
+    mat = spark.read.parquet(_M4_MAT)
+    return mat.groupBy("fmt").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("duration_s"), 3).alias("avg_duration_s"),
-        F.round(F.avg("rms"), 1).alias("avg_rms"),
-        F.round(F.avg("zero_cross_rate"), 4).alias("avg_zcr"),
+        F.round(F.avg("dur_us") / 1e6 + F.lit(1e-9), 3).alias("avg_duration_s"),
+        F.round(F.avg("rms_x1000") / 1000 + F.lit(1e-9), 1).alias("avg_rms"),
+        F.round(F.avg("zcr_x1e6") / 1e6 + F.lit(1e-9), 4).alias("avg_zcr"),
         F.max("peak").alias("max_peak"),
     )
 
@@ -228,10 +287,7 @@ def m4_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_media.py). Constant path: the frame table is a pure
 # function of the seed (doc-capped), identical at every sf, and the
 # query rewrites it at call time before the oracle reads it.
-import os as _os
-
-# pid-scoped: see queries_ml2._M3_MAT
-_M5_MAT = f"/tmp/hcs_mat/m5_frames_{_os.getpid()}"
+_M5_MAT = _mat_path("m5_frames")
 _M5_VID_RE = "^(vid-[0-9]+)-f"
 
 
@@ -273,7 +329,7 @@ def m5_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in BOTH engines over the same rows (the m3/m5 pattern): only the
 # area-interpolation numpy kernel itself stays outside the oracle
 # (verified against a naive block-mean twin in tests/test_media.py).
-_M6_MAT = f"/tmp/hcs_mat/m6_thumbs_{_os.getpid()}"
+_M6_MAT = _mat_path("m6_thumbs")
 _M6_TARGET = 64  # clamp per axis: thumbs never upscale
 
 
