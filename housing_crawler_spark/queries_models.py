@@ -21,7 +21,16 @@ from pyspark.sql import functions as F
 
 from .queries import query
 from .queries_etl_pipeline import _RAW_SQL, _raw_ads_df
-from .sources.models import apply_weekly_models, tag_ads, train_weekly_models
+from .sources.models import (
+    FEATURE_EPOCH,
+    apply_weekly_models,
+    apply_weekly_models_multi,
+    ridge3_exprs,
+    tag_ads,
+    tag_ads_multi,
+    train_weekly_models,
+    train_weekly_models_multi,
+)
 
 # shared base: parse the two published_on formats, keep modelable rows
 _BASE_SQL = f"""
@@ -120,6 +129,120 @@ def v2_weekly_model_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ads = _tagged_ads(spark, sf_dir)
     models = train_weekly_models(ads)
     out = apply_weekly_models(ads, models)
+    return out.select(
+        "id",
+        "wk",
+        (F.round(F.col("pred") + F.lit(1e-9), 2) + F.lit(0.0)).alias(
+            "pred_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# v3/v4 — multi-feature walk-forward ridge (the reference fits the FULL
+# feature matrix per week, train_model_weeks.py:66; S10's k-feature
+# half). The Cramer solve is ONE expression string shared verbatim by
+# both engines (sources/models.ridge3_exprs) so the arithmetic trees —
+# and hence the IEEE results — are identical; numerical accuracy vs
+# numpy's reference solve is pinned by tests/test_models.py.
+# ---------------------------------------------------------------------------
+
+_B = ridge3_exprs()
+
+_BASE_MULTI_SQL = f"""
+    {_RAW_SQL},
+    base3 AS (
+      SELECT id, price_euros, size_sqm, capacity,
+             CASE WHEN contains(published_on, '.')
+                  THEN strptime(published_on, '%d.%m.%Y')::DATE
+                  ELSE strptime(published_on, '%Y-%m-%d')::DATE
+             END AS pub
+      FROM raw
+      WHERE price_euros > 0 AND size_sqm IS NOT NULL
+    ),
+    tagged3 AS (
+      SELECT id, isoyear(pub) * 100 + weekofyear(pub) AS wk,
+             ln(price_euros::DOUBLE) AS y,
+             size_sqm::DOUBLE AS x1,
+             capacity::DOUBLE AS x2,
+             (pub - DATE '{FEATURE_EPOCH}')::DOUBLE / 100.0 AS x3
+      FROM base3
+    ),
+    weekly3 AS (
+      SELECT wk, count(*)::DOUBLE AS n, sum(y) AS sy,
+             sum(x1) AS sx1, sum(x2) AS sx2, sum(x3) AS sx3,
+             sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x1*x3) AS s13,
+             sum(x2*x2) AS s22, sum(x2*x3) AS s23, sum(x3*x3) AS s33,
+             sum(x1*y) AS sy1, sum(x2*y) AS sy2, sum(x3*y) AS sy3
+      FROM tagged3 GROUP BY wk
+    ),
+    cum3 AS (
+      SELECT wk,
+             sum(n)   OVER w AS cn,  sum(sy)  OVER w AS csy,
+             sum(sx1) OVER w AS csx1, sum(sx2) OVER w AS csx2,
+             sum(sx3) OVER w AS csx3,
+             sum(s11) OVER w AS cs11, sum(s12) OVER w AS cs12,
+             sum(s13) OVER w AS cs13, sum(s22) OVER w AS cs22,
+             sum(s23) OVER w AS cs23, sum(s33) OVER w AS cs33,
+             sum(sy1) OVER w AS csy1, sum(sy2) OVER w AS csy2,
+             sum(sy3) OVER w AS csy3
+      FROM weekly3
+      WINDOW w AS (ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    models3 AS (
+      SELECT wk, cn::BIGINT AS n_train,
+             {_B["b0"]} AS b0, {_B["b1"]} AS b1,
+             {_B["b2"]} AS b2, {_B["b3"]} AS b3
+      FROM cum3 WHERE cn >= 4
+    )
+"""
+
+
+@query(
+    "v3_weekly_model_train_multi",
+    oracle=f"""
+    WITH {_BASE_MULTI_SQL}
+    SELECT wk, n_train,
+           round(b0 + 1e-9, 4) + 0.0 AS b0,
+           round(b1 + 1e-9, 4) + 0.0 AS b1,
+           round(b2 + 1e-9, 4) + 0.0 AS b2,
+           round(b3 + 1e-9, 4) + 0.0 AS b3
+    FROM models3
+    """,
+)
+def v3_weekly_model_train_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ISO week's walk-forward k-feature ridge
+    (ln price ~ 1 + size + capacity + time-trend) in ONE window pass —
+    the reference's full-feature-matrix per-week fit
+    (train_model_weeks.py:66) with the per-week re-scan loop collapsed
+    into cumulative normal-equation sums."""
+    models = train_weekly_models_multi(tag_ads_multi(_raw_ads_df(spark, sf_dir)))
+    return models.select(
+        "wk",
+        "n_train",
+        *[
+            (F.round(F.col(b) + F.lit(1e-9), 4) + F.lit(0.0)).alias(b)
+            for b in ("b0", "b1", "b2", "b3")
+        ],
+    )
+
+
+@query(
+    "v4_weekly_model_apply_multi",
+    oracle=f"""
+    WITH {_BASE_MULTI_SQL}
+    SELECT t.id, t.wk,
+           round(exp(m.b0 + m.b1*t.x1 + m.b2*t.x2 + m.b3*t.x3) + 1e-9, 2)
+             + 0.0 AS pred_price
+    FROM tagged3 t JOIN models3 m ON m.wk = t.wk
+    """,
+)
+def v4_weekly_model_apply_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply each ad's OWN week's k-feature ridge (broadcast
+    coefficient join): ŷ = exp(b0 + Σ bi·xi), walk-forward safe."""
+    ads = tag_ads_multi(_raw_ads_df(spark, sf_dir))
+    models = train_weekly_models_multi(ads)
+    out = apply_weekly_models_multi(ads, models)
     return out.select(
         "id",
         "wk",

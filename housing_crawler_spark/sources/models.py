@@ -109,6 +109,138 @@ def apply_weekly_models(
     return ads.join(F.broadcast(models), wk).withColumn("pred", pred)
 
 
+# ---------------------------------------------------------------------------
+# Multi-feature walk-forward ridge (the reference fits its pipeline on
+# the FULL feature matrix per week, train_model_weeks.py:66 — the
+# single-regressor S10 above keeps the walk-forward shape; this closes
+# the k-feature fidelity gap with a closed-form ridge).
+# ---------------------------------------------------------------------------
+#
+# Method: per-week sufficient statistics for the augmented design
+# (1, x1..xk) — n, Σy, Σxi, Σxixj (i≤j), Σxiy — cumulated over week
+# order with the same ROWS UNBOUNDED PRECEDING AND 1 PRECEDING window
+# (one pass, no per-week re-scan). The intercept is eliminated
+# analytically: centered Gram C[i][j] = Σxixj − ΣxiΣxj/n and
+# d[i] = Σxiy − ΣxiΣy/n give the classic ridge normal equations
+# (C + λI)β = d with UNPENALIZED intercept β0 = (Σy − β·Σx)/n —
+# far better conditioned than solving the raw 4×4 system.
+#
+# The k×k solve is Cramer's rule emitted as ONE shared expression
+# string evaluated by F.expr on the Spark side and inlined verbatim in
+# the DuckDB oracle: identical parse tree → identical IEEE arithmetic
+# → the driver's value hash matches bit-for-bit (the numerical
+# ACCURACY of the closed form is pinned separately by the numpy
+# lstsq/solve twin in tests/test_models.py).
+
+RIDGE_LAMBDA = 1.0
+FEATURE_EPOCH = "1992-01-01"  # days-since epoch for the time-trend feature
+
+
+def tag_ads_multi(ads: DataFrame) -> DataFrame:
+    """Raw-ads table → k=3 modelable rows (id, wk, y, x1..x3):
+    y = ln(price), x1 = size_sqm, x2 = WG_size (flat capacity),
+    x3 = days since FEATURE_EPOCH / 100 (time trend, scaled to keep
+    the Gram entries well-conditioned)."""
+    pub = F.coalesce(
+        F.try_to_date(F.col("published_on"), "dd.MM.yyyy"),
+        F.try_to_date(F.col("published_on"), "yyyy-MM-dd"),
+    )
+    return ads.filter(
+        (F.col("price_euros") > 0) & F.col("size_sqm").isNotNull()
+    ).select(
+        "id",
+        iso_week_tag(pub),
+        F.log(F.col("price_euros").cast("double")).alias("y"),
+        F.col("size_sqm").cast("double").alias("x1"),
+        F.col("WG_size").cast("double").alias("x2"),
+        (F.datediff(pub, F.lit(FEATURE_EPOCH)).cast("double") / 100.0).alias("x3"),
+    )
+
+
+def _det3(m: list[list[str]]) -> str:
+    """Fully parenthesized 3x3 determinant — identical text (hence
+    identical evaluation order) in Spark SQL and DuckDB."""
+    return (
+        f"({m[0][0]}*({m[1][1]}*{m[2][2]} - {m[1][2]}*{m[2][1]})"
+        f" - {m[0][1]}*({m[1][0]}*{m[2][2]} - {m[1][2]}*{m[2][0]})"
+        f" + {m[0][2]}*({m[1][0]}*{m[2][1]} - {m[1][1]}*{m[2][0]}))"
+    )
+
+
+def ridge3_exprs(lam: float = RIDGE_LAMBDA) -> dict[str, str]:
+    """Expression strings for (b0, b1, b2, b3) over the cumulative
+    columns cn, csy, csx1..3, cs11..cs33, csy1..3 (all DOUBLE).
+    Shared verbatim by both engines."""
+    # centered Gram + ridge diagonal, centered cross-moments
+    c = {}
+    for i in range(1, 4):
+        for j in range(i, 4):
+            base = f"(cs{i}{j} - csx{i}*csx{j}/cn)"
+            c[(i, j)] = f"({base} + {lam!r})" if i == j else base
+            c[(j, i)] = c[(i, j)]
+    d = {i: f"(csy{i} - csx{i}*csy/cn)" for i in range(1, 4)}
+    a = [[c[(i, j)] for j in range(1, 4)] for i in range(1, 4)]
+    det = _det3(a)
+    bs = {}
+    for i in range(3):
+        ai = [row[:] for row in a]
+        for r in range(3):
+            ai[r][i] = d[r + 1]
+        bs[f"b{i + 1}"] = f"({_det3(ai)} / {det})"
+    bs["b0"] = (
+        f"((csy - ({bs['b1']}*csx1 + {bs['b2']}*csx2 + {bs['b3']}*csx3)) / cn)"
+    )
+    return bs
+
+
+def train_weekly_models_multi(
+    ads: DataFrame, lam: float = RIDGE_LAMBDA, min_train: int = 4
+) -> DataFrame:
+    """Walk-forward weekly k-feature ridge (k=3): for every week, fit
+    ln(price) ~ 1 + x1 + x2 + x3 on ALL rows of strictly earlier
+    weeks, in ONE window pass. Input: (wk, y, x1, x2, x3) — see
+    tag_ads_multi. Output: (wk, n_train, b0..b3).
+
+    Scale shape mirrors train_weekly_models: facts reduce map-side to
+    14 per-week sufficient statistics (one shuffle on wk), the
+    unpartitioned cumulative window sees only |weeks| rows."""
+    y = F.col("y")
+    xs = [F.col(f"x{i}") for i in range(1, 4)]
+    aggs = [F.count("*").cast("double").alias("n"), F.sum(y).alias("sy")]
+    aggs += [F.sum(x).alias(f"sx{i + 1}") for i, x in enumerate(xs)]
+    for i in range(3):
+        for j in range(i, 3):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"s{i + 1}{j + 1}"))
+    aggs += [F.sum(x * y).alias(f"sy{i + 1}") for i, x in enumerate(xs)]
+    weekly = ads.groupBy("wk").agg(*aggs)
+    w = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, -1)
+    cum_cols = [F.sum("n").over(w).alias("cn"), F.sum("sy").over(w).alias("csy")]
+    cum_cols += [F.sum(f"sx{i}").over(w).alias(f"csx{i}") for i in range(1, 4)]
+    for i in range(1, 4):
+        for j in range(i, 4):
+            cum_cols.append(F.sum(f"s{i}{j}").over(w).alias(f"cs{i}{j}"))
+    cum_cols += [F.sum(f"sy{i}").over(w).alias(f"csy{i}") for i in range(1, 4)]
+    cum = weekly.select("wk", *cum_cols)
+    bs = ridge3_exprs(lam)
+    return cum.filter(F.col("cn") >= min_train).select(
+        "wk",
+        F.col("cn").cast("long").alias("n_train"),
+        *[F.expr(bs[f"b{i}"]).alias(f"b{i}") for i in range(4)],
+    )
+
+
+def apply_weekly_models_multi(ads: DataFrame, models: DataFrame) -> DataFrame:
+    """ŷ = exp(b0 + Σ bi·xi) from the ad's OWN week's model (broadcast
+    coefficient join, like apply_weekly_models)."""
+    pred = F.exp(
+        F.col("b0")
+        + F.col("b1") * F.col("x1")
+        + F.col("b2") * F.col("x2")
+        + F.col("b3") * F.col("x3")
+    )
+    return ads.join(F.broadcast(models), "wk").withColumn("pred", pred)
+
+
 def write_models(models: DataFrame, path: str) -> None:
     """Artifact sink: the pickle directory becomes a parquet table."""
     models.write.mode("overwrite").parquet(path)

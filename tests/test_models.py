@@ -10,10 +10,13 @@ from pyspark.sql import functions as F
 
 from housing_crawler_spark.queries_etl_pipeline import _raw_ads_df
 from housing_crawler_spark.sources.models import (
+    RIDGE_LAMBDA,
     apply_weekly_models,
     read_models,
     tag_ads,
+    tag_ads_multi,
     train_weekly_models,
+    train_weekly_models_multi,
     write_models,
 )
 
@@ -43,6 +46,48 @@ def test_walk_forward_matches_numpy_twin(spark, sf_smoke):
     # the earliest week present has no earlier data → no model (no leak)
     first_wk = min(r["wk"] for r in rows)
     assert first_wk not in models
+
+
+def _fit_numpy_ridge(rows, wk, lam=RIDGE_LAMBDA):
+    """Reference solve for the k=3 ridge with unpenalized intercept:
+    b = (Xc'Xc + lam*I)^-1 Xc'yc on centered data, b0 = ybar - xbar.b
+    — the exact optimum of ||y - b0 - Xb||^2 + lam*||b||^2."""
+    train = [r for r in rows if r["wk"] < wk]
+    X = np.array([[r["x1"], r["x2"], r["x3"]] for r in train], dtype=float)
+    y = np.array([r["y"] for r in train], dtype=float)
+    Xc, yc = X - X.mean(axis=0), y - y.mean()
+    b = np.linalg.solve(Xc.T @ Xc + lam * np.eye(3), Xc.T @ yc)
+    return float(y.mean() - X.mean(axis=0) @ b), b
+
+
+def test_multi_ridge_matches_numpy_twin(spark, sf_smoke):
+    """The shared Cramer expression (ridge3_exprs) must agree with
+    numpy's linalg.solve on the same walk-forward training sets — the
+    closed form's numerical ACCURACY, complementing the v3 oracle's
+    cross-engine bit-parity."""
+    tagged = tag_ads_multi(_raw_ads_df(spark, sf_smoke))
+    rows = tagged.collect()
+    models = {m["wk"]: m for m in train_weekly_models_multi(tagged).collect()}
+    assert len(models) > 5
+    weeks = sorted(models)
+    for wk in (weeks[0], weeks[len(weeks) // 3], weeks[-1]):
+        b0, b = _fit_numpy_ridge(rows, wk)
+        got = models[wk]
+        assert abs(got["b0"] - b0) < 1e-7, wk
+        for i in range(3):
+            assert abs(got[f"b{i + 1}"] - b[i]) < 1e-7, (wk, i)
+        assert got["n_train"] == sum(1 for r in rows if r["wk"] < wk)
+    # walk-forward purity: earliest week has no model (no leak)
+    assert min(r["wk"] for r in rows) not in models
+    # the ridge actually predicts: in-sample R^2 of the last week's
+    # model on its own training set must beat the mean-only baseline
+    wk = weeks[-1]
+    b0, b = _fit_numpy_ridge(rows, wk)
+    train = [r for r in rows if r["wk"] < wk]
+    X = np.array([[r["x1"], r["x2"], r["x3"]] for r in train], dtype=float)
+    y = np.array([r["y"] for r in train], dtype=float)
+    resid = y - (b0 + X @ b)
+    assert (resid**2).sum() < ((y - y.mean()) ** 2).sum()
 
 
 def test_artifact_roundtrip_and_apply(spark, sf_smoke, tmp_path):
