@@ -292,7 +292,11 @@ class CrawlEngine:
         return cand
 
     def known(self, r: int) -> DataFrame:
-        return self.store.read_deltas(self.spark, "known", r)
+        """Full URL-known membership at round ``r``: latest known_base
+        snapshot ∪ deltas since (bounded union-on-read — the round-3
+        verdict's item 5: unioning EVERY delta since round 0 lists
+        10^4 dirs per round at 10^4 rounds)."""
+        return self.store.read_compacted(self.spark, "known", r)
 
     def seen(self, r: int) -> DataFrame:
         """Derived view: URL-seen membership = non-captcha fetch_log rows."""
@@ -617,6 +621,20 @@ class CrawlEngine:
                 .drop("__h")
             )
             infos.append(store.write_snapshot(base, "frontier_base", r))
+            # known_base: same cadence — the full membership set rolls
+            # up into one range-partitioned snapshot so known() reads
+            # O(compact_every) dirs instead of O(rounds). Round-r's
+            # known delta isn't committed yet, so fold new_entries in
+            # from memory (read_compacted at r-1 sees ≤ r-1 only).
+            known_now = self.known(r - 1)
+            if sum(new_per_host.values()) > 0:
+                known_now = known_now.unionByName(new_entries)
+            kb = (
+                known_now.withColumn("__h", url_hash(F.col("canonical_url")))
+                .repartitionByRange(cfg.snapshot_partitions, "__h")
+                .drop("__h")
+            )
+            infos.append(store.write_snapshot(kb, "known", r))
             mark("compaction")
 
         metrics = {

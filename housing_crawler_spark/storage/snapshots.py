@@ -122,6 +122,39 @@ class SnapshotStore:
             return None
         return spark.read.parquet(*paths)
 
+    def compacted_paths(
+        self, table: str, up_to_round: int
+    ) -> tuple[str | None, list[str]]:
+        """(latest snapshot dir or None, delta dirs after it) — what a
+        read_compacted of ``table`` at ``up_to_round`` touches. Exposed
+        so tests can assert the per-read dir count stays bounded by the
+        compaction interval."""
+        b = self.latest_snapshot_round(table, up_to_round)
+        snap = self._dir(table, "snap", b) if b is not None else None
+        lo = b + 1 if b is not None else 0
+        deltas = []
+        for c in self.commits():
+            if not (lo <= c["round"] <= up_to_round):
+                continue
+            for t in c["tables"]:
+                if t["table"] == table and t["kind"] == "delta":
+                    deltas.append(t["path"])
+        return snap, deltas
+
+    def read_compacted(
+        self, spark: SparkSession, table: str, up_to_round: int
+    ) -> DataFrame | None:
+        """State of ``table`` at ``up_to_round`` as latest snapshot ∪
+        deltas since. With periodic snapshots this bounds the parquet
+        dirs listed per read to the compaction interval — without one,
+        a 10^4-round run lists 10^4 delta dirs per round (a metadata /
+        small-file bottleneck, not a data-volume one)."""
+        snap, deltas = self.compacted_paths(table, up_to_round)
+        if snap is None:
+            return spark.read.parquet(*deltas) if deltas else None
+        base = spark.read.parquet(snap)
+        return base.unionByName(spark.read.parquet(*deltas)) if deltas else base
+
     # -- rollback ----------------------------------------------------------
 
     def rollback(self, to_round: int) -> list[int]:

@@ -98,3 +98,32 @@ def test_rollback_then_resume_bit_identical(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         store_b.rollback(-1)
+
+
+def test_known_union_on_read_is_bounded(spark, tmp_path):
+    """known() must read O(compact_every) dirs, not O(rounds): every
+    compaction round rolls the membership set into a known_base
+    snapshot and reads resume from it (round-3 verdict item 5). The
+    compacted view must equal the full delta union exactly."""
+    cfg = EngineConfig(compact_every=3)
+    store = SnapshotStore(str(tmp_path / "kb"))
+    eng = CrawlEngine(spark, store, WORLD, cfg)
+    eng.init_state(synth.seed_frontier_rows(WORLD), synth.robots_rows(WORLD))
+    n_rounds = 8
+    eng.run(n_rounds)
+
+    snap, deltas = store.compacted_paths("known", n_rounds)
+    assert snap is not None, "no known_base snapshot written"
+    # dirs touched per read: 1 snapshot + at most compact_every deltas
+    assert len(deltas) <= cfg.compact_every, deltas
+    # snapshot cadence held for the whole run
+    last_snap = store.latest_snapshot_round("known", n_rounds)
+    assert last_snap is not None and n_rounds - last_snap < cfg.compact_every
+
+    # parity: compacted view == raw union of every delta since round 0
+    compacted = sorted(
+        r["canonical_url"] for r in eng.known(n_rounds).collect()
+    )
+    raw = store.read_deltas(spark, "known", n_rounds)
+    assert compacted == sorted(r["canonical_url"] for r in raw.collect())
+    assert len(compacted) == len(set(compacted))  # membership set: no dups
