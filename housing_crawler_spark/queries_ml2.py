@@ -19,14 +19,12 @@ from .queries_ml import (
     _DUPED_SQL,
     _duped,
     _md5int_sql,
-    _minhash_col,
-    _minhash_sql,
-    _N_MINHASH,
     _NORM_SQL,
     char_3grams,
     cosine,
     md5int,
     norm_text,
+    perm_consts,
 )
 
 # ---------------------------------------------------------------------------
@@ -77,16 +75,7 @@ def _mut(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D7_PERMS = 8
 
 
-def _perm_consts() -> list[int]:
-    import hashlib
-
-    return [
-        int(hashlib.md5(f"perm:{k}".encode()).hexdigest()[:15], 16)
-        for k in range(_D7_PERMS)
-    ]
-
-
-_C = _perm_consts()
+_C = perm_consts(_D7_PERMS)
 _GH_SQL = (
     f"list_distinct(list_transform({_3GRAMS_SQL}, s -> {_md5int_sql('s')}))"
 )
