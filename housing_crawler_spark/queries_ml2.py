@@ -720,27 +720,66 @@ def _df_recenter(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _seed_centroids(base: DataFrame, k_cells: int, seeding: str) -> DataFrame:
+    """Initial centroid dim (cid, c) — K rows.
+
+    'first' (the oracle's pinned deterministic setting): the first
+    k_cells vector ids. Fine for the SQL-twin gate, but biased at
+    production scale when ids correlate with content (e.g. clone
+    blocks ingested together seed every centroid inside one cluster).
+
+    'sampled' (the scale default): a deterministic hash-ordered sample
+    — the k vectors with the smallest xxhash64(vec_id), i.e. a uniform
+    pseudo-random draw independent of id locality. Spark executes the
+    orderBy().limit(k) as per-partition top-k + driver merge
+    (TakeOrderedAndProject), never a global sort; the cid relabel
+    window runs over just K rows. k-means|| is the upgrade path if the
+    K-row driver merge itself ever bounds (K ~ 1e5 at n = 1e10 is
+    still fine)."""
+    if seeding == "first":
+        return base.filter(F.col("vec_id") < k_cells).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("c")
+        )
+    assert seeding == "sampled", seeding
+    picks = (
+        base.select("vec_id", "e", F.xxhash64("vec_id").alias("__r"))
+        .orderBy("__r", "vec_id")
+        .limit(k_cells)
+    )
+    w = Window.orderBy("__r", "vec_id")  # K rows only
+    return picks.select(
+        (F.row_number().over(w) - 1).alias("cid"), F.col("e").alias("c")
+    )
+
+
 def ivf_ann(
     base: DataFrame,
     probes: DataFrame,
-    k_cells: int = _IVF_K,
+    k_cells: int | None = _IVF_K,
     iters: int = _IVF_ITERS,
     nprobe: int = _IVF_NPROBE,
     topk: int = 3,
+    seeding: str = "first",
 ) -> DataFrame:
     """IVF approximate NN core (the other scale path next to s2's LSH).
-    K-means coarse quantizer: deterministic seed (first k_cells
-    vectors), `iters` Lloyd iterations where assignment is a broadcast
-    cross-join against the K-row centroid dim and re-centering is a
-    posexplode/groupBy mean. Every vector lands in ONE inverted list;
+    K-means coarse quantizer: deterministic seeds ('first' = the
+    oracle's pinned first-K setting, 'sampled' = hash-ordered uniform
+    draw for production — see _seed_centroids), `iters` Lloyd
+    iterations where assignment is a broadcast cross-join against the
+    K-row centroid dim and re-centering is a posexplode/groupBy mean.
+    k_cells=None auto-sizes K = ceil(sqrt(n)) (one count job) — the
+    standard IVF operating point balancing list length n/K against the
+    K-centroid probe scan. Every vector lands in ONE inverted list;
     each probe scans the lists of its `nprobe` nearest centroids
     (equi-join on cell id — probe cost nprobe*n/K, never all-pairs).
     Rounded similarities + centroid-id tiebreaks make every assignment
     decision identical across engines despite FP summation order.
     Inputs: (vec_id, e:double[]). Output: probe_id, neighbor_id, sim."""
-    cents = base.filter(F.col("vec_id") < k_cells).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("c")
-    )
+    if k_cells is None:
+        import math
+
+        k_cells = max(2, math.ceil(math.sqrt(base.count())))
+    cents = _seed_centroids(base, k_cells, seeding)
     for _ in range(iters):
         cents = _df_recenter(_df_assign(base, cents))
     cells = _df_assign(base, cents).cache()

@@ -245,6 +245,76 @@ def test_s4_ivf_recall_uniform_monotone_in_nprobe(spark, sf_smoke):
     assert r_high >= r_low, (r_low, r_high)
 
 
+def test_s4_ivf_scaled_settings_recall(spark, sf_smoke):
+    """Production operating point (round-3 verdict item 7): auto
+    K=ceil(sqrt(n)) and 'sampled' hash-ordered seeding — first-K
+    seeding is biased when ids correlate with content, exactly this
+    corpus's shape (clusters are CONTIGUOUS id blocks, so first-K
+    seeds all land in the first few clusters). On a 10x corpus of
+    tight 10-member clusters (each base vector + 9 deterministic
+    perturbations), a probe's true nearest neighbor is a cluster
+    sibling; recall@1 at nprobe=5 must be >= 0.9."""
+    from pyspark.sql import functions as F
+
+    from housing_crawler_spark.queries import load
+    from housing_crawler_spark.queries_ml2 import ivf_ann
+
+    base0 = load(spark, sf_smoke, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    n0 = base0.count()
+    copies = [
+        base0.select(
+            (F.col("vec_id") * 10 + c).alias("vec_id"),
+            F.transform(
+                "e",
+                # (element, index) two-param lambda: deterministic
+                # per-copy, per-dimension jitter — tight cluster of 10
+                lambda x, i: x + F.sin(F.col("vec_id") * 1.0 + i * 1.0 + c) * 0.02,
+            ).alias("e"),
+        )
+        for c in range(10)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big = big.cache()
+    assert big.count() == 10 * n0
+    probes = big.filter(F.col("vec_id") % 100 == 0).limit(20).cache()
+
+    got = {
+        (r.probe_id, r.neighbor_id)
+        for r in ivf_ann(
+            big, probes, k_cells=None, nprobe=5, topk=1, seeding="sampled"
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    from housing_crawler_spark.queries_ml import cosine
+
+    p, x = probes.alias("p"), big.alias("x")
+    cs = cosine(F.col("p.e"), F.col("x.e"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc(F.round(F.col("cs") + F.lit(1e-9), 6)), "neighbor_id"
+    )
+    gt = {
+        (r.probe_id, r.neighbor_id)
+        for r in (
+            p.join(x, F.col("p.vec_id") != F.col("x.vec_id"))
+            .select(
+                F.col("p.vec_id").alias("probe_id"),
+                F.col("x.vec_id").alias("neighbor_id"),
+                cs.alias("cs"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 1)
+            .collect()
+        )
+    }
+    recall = len(got & gt) / len(gt)
+    assert recall >= 0.9, f"scaled-settings recall@1 = {recall:.3f}"
+
+
 def test_banded_hamming_skew_guard(spark):
     """A hot band value (10k identical phashes — blank images) must NOT
     go quadratic: buckets above _MAX_BUCKET fall back to star links to
