@@ -42,7 +42,14 @@ def ads_from_fetch_log(details: DataFrame) -> DataFrame:
     guarantees a URL succeeds at most once (kind='detail'; captcha
     retries log as kind='captcha' until then), and the ETL's id dedup
     is the safety net if that invariant is ever relaxed."""
-    k = F.pmod(F.xxhash64(F.col("canonical_url")), F.lit(2**31)).cast("long")
+    # full non-negative 64-bit domain: a 2^31 id space starts taking
+    # birthday collisions around ~65k URLs and saturates at the module's
+    # 10^10-URL design scale, silently merging distinct ads in the ETL
+    # id-dedup. Masking the sign bit == pmod(x, 2^63) in two's
+    # complement (2^63 itself overflows a long literal) and keeps the
+    # collision odds negligible (~n^2/2^64) while satisfying
+    # build_raw_ads's non-negative-integral contract.
+    k = F.xxhash64(F.col("canonical_url")).bitwiseAND(F.lit((1 << 63) - 1))
     od = F.date_add(F.to_date(F.lit(_EPOCH)), F.col("round") * 7)
     price = (200 + k % 2800).cast("int")
     # mostly in-Germany coordinates (real listings are); ~1/8 land

@@ -388,8 +388,17 @@ def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All-pairs inside a band bucket is quadratic in bucket size; a hot
 # band value (all-zero phashes from blank/solid images are the classic
 # case) makes one bucket carry the whole corpus. Buckets above this cap
-# fall back to star-to-representative links (the d7/s3 pattern): linear,
-# and dedup-equivalent (the component stays connected through the rep).
+# fall back to star-to-representative links (the d7/s3 pattern).
+#
+# This is a RECALL/SCALE TRADEOFF, not an equivalence: a member whose
+# Hamming distance to the bucket's min-key representative exceeds
+# max_hamming loses its links from this band even if it is within
+# max_hamming of OTHER bucket members (it can still be recovered by
+# its other bands). The trade is deliberate: oversized buckets are
+# overwhelmingly near-identical floods (the 10k-identical-phash test
+# shape) where the star is lossless, and the alternative — chunked
+# pairing — reintroduces the quadratic term the cap exists to kill.
+# The DuckDB oracle mirrors the same fallback, so parity is exact.
 _MAX_BUCKET = 64
 
 
