@@ -227,6 +227,104 @@ def v3_weekly_model_train_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# j7 — the reference's return_significative_coef (utils.py:978-993):
+# statsmodels params ⋈ pvalues on 'variable', query("p_value<0.05"),
+# sort by coef desc. Re-expressed Spark-first: per-variable univariate
+# OLS of ln(price) on each feature via ONE full-table aggregate
+# (centered sufficient statistics), coefficient and t-statistic tables
+# derived from it, joined on variable (the reference's merge), and the
+# significance gate |t| > z_{0.975} = 1.959964 — the exact large-df
+# critical value (n ≈ 6·10^4 here; statsmodels' t-CDF differs from the
+# normal by < 1e-5 at this df, and no SQL engine exposes the t CDF).
+# Both engines share the formula strings verbatim (the ridge3 trick).
+# ---------------------------------------------------------------------------
+
+_J7_CRIT = 1.959964  # two-sided 5% normal critical value (df -> inf)
+
+_J7_STATS = {
+    "sxx_c": "(sxx - sx*sx/n)",
+    "sxy_c": "(sxy - sx*sy/n)",
+    "syy_c": "(syy - sy*sy/n)",
+}
+_J7_COEF = f"({_J7_STATS['sxy_c']} / {_J7_STATS['sxx_c']})"
+_J7_SSE = f"({_J7_STATS['syy_c']} - {_J7_COEF}*{_J7_STATS['sxy_c']})"
+_J7_T = f"({_J7_COEF} / sqrt(({_J7_SSE}/(n - 2.0)) / {_J7_STATS['sxx_c']}))"
+
+_J7_AGG_SQL = """
+      SELECT count(*)::DOUBLE AS n, sum(y) AS sy, sum(y*y) AS syy,
+             sum(x1) AS sx1, sum(x1*x1) AS s11, sum(x1*y) AS sy1,
+             sum(x2) AS sx2, sum(x2*x2) AS s22, sum(x2*y) AS sy2,
+             sum(x3) AS sx3, sum(x3*x3) AS s33, sum(x3*y) AS sy3
+      FROM tagged3
+"""
+
+
+@query(
+    "j7_significant_coefs",
+    oracle=f"""
+    WITH {_BASE_MULTI_SQL},
+    aggd AS ({_J7_AGG_SQL}),
+    stats AS (
+      SELECT 'x1' AS variable, n, sy, syy, sx1 AS sx, s11 AS sxx, sy1 AS sxy FROM aggd
+      UNION ALL
+      SELECT 'x2', n, sy, syy, sx2, s22, sy2 FROM aggd
+      UNION ALL
+      SELECT 'x3', n, sy, syy, sx3, s33, sy3 FROM aggd
+    ),
+    coefs AS (SELECT variable, {_J7_COEF} AS coef FROM stats),
+    tstats AS (SELECT variable, {_J7_T} AS t_stat FROM stats)
+    SELECT c.variable,
+           round(c.coef + 1e-9, 6) + 0.0 AS coef,
+           round(t.t_stat + 1e-9, 3) + 0.0 AS t_stat
+    FROM coefs c JOIN tstats t ON t.variable = c.variable
+    WHERE abs(t.t_stat) > {_J7_CRIT}
+    """,
+)
+def j7_significant_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-coefficient report (SURVEY J7): per-variable OLS
+    coefficient table joined to its t-statistic table on ``variable``,
+    keeping |t| above the two-sided 5% critical value, mirroring the
+    reference's params⋈pvalues merge + p<0.05 query. One full-table
+    aggregate feeds both sides; the 3-row join is broadcast."""
+    tagged = tag_ads_multi(_raw_ads_df(spark, sf_dir))
+    y = F.col("y")
+    aggd = tagged.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        *[
+            a
+            for i in range(1, 4)
+            for a in (
+                F.sum(F.col(f"x{i}")).alias(f"sx{i}"),
+                F.sum(F.col(f"x{i}") * F.col(f"x{i}")).alias(f"s{i}{i}"),
+                F.sum(F.col(f"x{i}") * y).alias(f"sy{i}"),
+            )
+        ],
+    )
+    stack = ", ".join(f"'x{i}', sx{i}, s{i}{i}, sy{i}" for i in range(1, 4))
+    stats = aggd.selectExpr(
+        "n",
+        "sy",
+        "syy",
+        f"stack(3, {stack}) AS (variable, sx, sxx, sxy)",
+    )
+    coefs = stats.select("variable", F.expr(_J7_COEF).alias("coef"))
+    tstats = stats.select("variable", F.expr(_J7_T).alias("t_stat"))
+    return (
+        coefs.join(F.broadcast(tstats), "variable")
+        .filter(F.abs(F.col("t_stat")) > _J7_CRIT)
+        .select(
+            "variable",
+            (F.round(F.col("coef") + F.lit(1e-9), 6) + F.lit(0.0)).alias("coef"),
+            (F.round(F.col("t_stat") + F.lit(1e-9), 3) + F.lit(0.0)).alias(
+                "t_stat"
+            ),
+        )
+    )
+
+
 @query(
     "v4_weekly_model_apply_multi",
     oracle=f"""
