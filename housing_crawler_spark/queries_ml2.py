@@ -641,6 +641,76 @@ def m7_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# m8 — cross-modal consistency audit (the LAION-style cleaning op for
+# image+caption training pairs): groups of images sharing a caption
+# whose PIXELS diverge. Same-caption near-identical images are benign
+# dups; same-caption visually-different images are mislabeled pairs a
+# curation run wants flagged. Shape: star-to-representative per
+# caption group (min_by aggregate + one equi-join back — linear in
+# group size, never within-group all-pairs), hamming on the real
+# Arrow-stage phashes, materialized so both engines run the audit.
+_M8_MAT = _mat_path("m8_capimg")
+_M8_MAXHAM = 16
+
+
+@query(
+    "m8_caption_image_mismatch",
+    oracle=f"""
+    WITH t AS (
+      SELECT image_id, caption, phash FROM read_parquet('{_M8_MAT}/*.parquet')
+    ),
+    rep AS (
+      SELECT caption, min_by(phash, image_id) AS rep_phash
+      FROM t GROUP BY caption
+    ),
+    j AS (
+      SELECT t.caption, t.phash,
+             bit_count(xor(t.phash, r.rep_phash))::INT AS ham
+      FROM t JOIN rep r ON r.caption = t.caption
+    )
+    SELECT caption,
+           count(*)::BIGINT AS n_images,
+           count(DISTINCT phash)::BIGINT AS n_distinct_phash,
+           max(ham) AS max_ham_to_rep,
+           sum(CASE WHEN ham > {_M8_MAXHAM} THEN 1 ELSE 0 END)::BIGINT
+             AS n_mismatch
+    FROM j GROUP BY caption HAVING count(*) >= 2
+    """,
+)
+def m8_caption_image_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption↔image consistency audit: per shared caption, how many
+    images, how many distinct phashes, and how many sit > {_M8_MAXHAM}
+    Hamming bits from the group representative (min_by image_id) —
+    the rows a curation pass would drop as mislabeled pairs. The
+    multi-image docs in the synthetic corpus produce natural
+    same-caption different-pixel groups, so the mismatch column is
+    exercised without planting."""
+    from .queries_multimodal import _image_table
+
+    imgs = _image_table(spark, sf_dir).select("image_id", "caption", "phash")
+    imgs.write.mode("overwrite").parquet(_M8_MAT)
+    t = spark.read.parquet(_M8_MAT)
+    rep = t.groupBy("caption").agg(
+        F.min_by("phash", "image_id").alias("rep_phash")
+    )
+    ham = F.bit_count(
+        F.col("phash").bitwiseXOR(F.col("rep_phash"))
+    ).cast("int")
+    j = t.join(rep, "caption").select("caption", "phash", ham.alias("ham"))
+    return (
+        j.groupBy("caption")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.countDistinct("phash").alias("n_distinct_phash"),
+            F.max("ham").alias("max_ham_to_rep"),
+            F.sum(F.when(F.col("ham") > _M8_MAXHAM, 1).otherwise(0)).alias(
+                "n_mismatch"
+            ),
+        )
+        .filter(F.col("n_images") >= 2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # s4 — IVF ANN: k-means coarse quantizer (deterministic seed = first K
 # vectors), probes scan the inverted lists of their nprobe nearest
