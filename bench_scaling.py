@@ -97,6 +97,10 @@ parallelism levels, per the north_rule's two-cluster-size criterion
 
 **scaling efficiency** = ({r_hi["frontier_urls_per_sec"]} / {r_lo["frontier_urls_per_sec"]}) / {hi // lo}
 = **{eff:.3f}** (target ≥ 0.8)
+(repeats per level: {os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")};
+single-run ratios on this box spread ~±0.1 from page-cache effects —
+treat one reading as a sample, and see BENCH/BASELINE.md for the
+repeated-run spread discussion and the world-size trend.)
 
 Reference single-thread baseline (BASELINE.md): ≤0.083 new ads/s
 politeness-floor ceiling; this engine's virtual-clock politeness keeps

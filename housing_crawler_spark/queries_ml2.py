@@ -1109,3 +1109,98 @@ def t5_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grams.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "pred_lang", "n_tokens", "fp"
     )
+
+
+# ---------------------------------------------------------------------------
+# t6 — PII-style redaction, the standard corpus-scrub stage between
+# quality filtering and dedup in a training-data prep (emails/phone
+# numbers replaced with fixed tags + per-doc counts for audit). The
+# corpus is synthetic lowercase prose, so deterministic contact lines
+# are planted per doc-id residue to exercise both patterns; regexes
+# stick to character classes + bounded quantifiers so Java regex
+# (Spark) and RE2-ish (DuckDB) agree byte-for-byte, and the redacted
+# text is compared via its portable hash.
+# ---------------------------------------------------------------------------
+
+_T6_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+"
+_T6_PHONE = "[+][0-9]{2}[ ][0-9]{3}[ ][0-9]{5,9}"
+
+_T6_PLANT_SQL = """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id || '@mail-' || (doc_id % 7) || '.example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' tel +49 030 ' || (10000 + doc_id % 80000)
+                     ELSE '' END AS text
+      FROM documents
+"""
+
+
+@query(
+    "t6_redact_pii",
+    oracle=f"""
+    WITH planted AS ({_T6_PLANT_SQL}),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text, '{_T6_EMAIL}', '<EMAIL>', 'g'),
+               '{_T6_PHONE}', '<PHONE>', 'g') AS rtext,
+             len(regexp_extract_all(text, '{_T6_EMAIL}'))::INT AS n_emails,
+             len(regexp_extract_all(text, '{_T6_PHONE}'))::INT AS n_phones
+      FROM planted
+    )
+    SELECT doc_id, n_emails, n_phones,
+           length(rtext)::INT AS redacted_len,
+           {_md5int_sql("rtext")} AS redacted_fp
+    FROM red
+    WHERE n_emails > 0 OR n_phones > 0
+    """,
+)
+def t6_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact contact-info spans (emails, phone numbers) and report
+    per-doc counts — the PII-scrub pass a corpus prep runs before
+    dedup. Pure JVM regex expressions (no UDF, no shuffle until the
+    filter); the redacted text itself is pinned across engines by its
+    portable 60-bit hash."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail-"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" tel +49 030 "),
+                    (10000 + F.col("doc_id") % 80000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    rtext = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _T6_EMAIL, "<EMAIL>"),
+        _T6_PHONE,
+        "<PHONE>",
+    )
+    red = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_T6_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_T6_PHONE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.length(rtext).alias("redacted_len"),
+        md5int(rtext).alias("redacted_fp"),
+    )
+    return red.filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0))
