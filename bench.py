@@ -45,6 +45,8 @@ HEADLINE = [
     "m2_phash_near_dup",  # 4-band Hamming near-dup (skew-guarded)
     "s3_ann_near_dup",  # star-to-representative ANN near-dup
     "t5_corpus_prep",  # quality → langid → exact dedup → near-dup → corpus
+    "t6_redact_pii",  # regex scrub + audit counts (round 4)
+    "v3_weekly_model_train_multi",  # k-feature walk-forward ridge (round 4)
 ]
 
 # single-shot timing couldn't distinguish a regression from noise

@@ -626,6 +626,13 @@ class CrawlEngine:
             # O(compact_every) dirs instead of O(rounds). Round-r's
             # known delta isn't committed yet, so fold new_entries in
             # from memory (read_compacted at r-1 sees ≤ r-1 only).
+            # Cost note for 10^10 scale: this is an O(|known|) rewrite
+            # every compact_every rounds, the same magnitude as the
+            # O(|known|) read the per-round anti-join backstop already
+            # pays; the upgrade path if either bounds is hash-bucketing
+            # the known table (rewrite only buckets that gained rows,
+            # probe co-partitioned) — the bloom shards already give the
+            # per-round probe its cheap pre-filter.
             known_now = self.known(r - 1)
             if sum(new_per_host.values()) > 0:
                 known_now = known_now.unionByName(new_entries)
