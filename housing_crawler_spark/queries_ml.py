@@ -11,6 +11,12 @@ Cross-engine determinism notes:
   so the doubles are bit-identical — rounding to 4 decimals is safe;
 - Spark ``array_intersect`` and DuckDB ``list_intersect`` both return
   distinct elements.
+
+Production note: md5int exists ONLY because the DuckDB oracle needs a
+hash both engines compute identically. A production deployment without
+the cross-engine gate swaps it for ``F.xxhash64`` (~10x cheaper,
+JVM-native) — every gram/fingerprint pipeline here is agnostic to the
+hash function as long as it is 64-bit and deterministic.
 """
 
 from __future__ import annotations
