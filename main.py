@@ -97,12 +97,18 @@ def cmd_etl_store(args) -> None:
 def cmd_train_models(args) -> None:
     from housing_crawler_spark.sources.models import (
         tag_ads,
+        tag_ads_multi,
         train_weekly_models,
+        train_weekly_models_multi,
         write_models,
     )
 
     spark = _spark(args)
-    models = train_weekly_models(tag_ads(spark.read.parquet(args.input)))
+    ads = spark.read.parquet(args.input)
+    if args.multi:
+        models = train_weekly_models_multi(tag_ads_multi(ads))
+    else:
+        models = train_weekly_models(tag_ads(ads))
     write_models(models, args.output)
     print(json.dumps({"models": spark.read.parquet(args.output).count(), "output": args.output}))
 
@@ -150,6 +156,11 @@ def main() -> None:
     )
     t.add_argument("--input", required=True, help="raw-ads parquet")
     t.add_argument("--output", required=True, help="model artifact parquet")
+    t.add_argument(
+        "--multi",
+        action="store_true",
+        help="k-feature walk-forward ridge (the reference's full-feature fit)",
+    )
     t.set_defaults(fn=cmd_train_models)
 
     q = sub.add_parser("query", help="run a registered query")

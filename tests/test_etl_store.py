@@ -89,3 +89,52 @@ def test_etl_store_deterministic_and_delta_local(spark, tmp_path):
     }
     assert lo | hi == full
     assert not (lo & hi)
+
+
+def test_crawl_to_weekly_models_chain(spark, tmp_path):
+    """The full reference workflow in one chain: crawl → bridged raw
+    ads → weekly walk-forward models (both the single-regressor OLS
+    and the k-feature ridge) → predictions — EP1 feeding EP2 feeding
+    EP3, all over the snapshot store's output. The reference runs
+    these as three cron daemons over CSVs."""
+    from pyspark.sql import functions as F2
+
+    from housing_crawler_spark.sources.models import (
+        apply_weekly_models_multi,
+        tag_ads,
+        tag_ads_multi,
+        train_weekly_models,
+        train_weekly_models_multi,
+    )
+
+    eng = _crawl(spark, str(tmp_path / "store"))
+    r = eng.store.last_round()
+    ads = ads_from_fetch_log(
+        eng.fetch_log(r).filter(F.col("kind") == "detail")
+    ).cache()
+
+    # single-regressor OLS path (v1 shape)
+    m1 = train_weekly_models(tag_ads(ads))
+    # k-feature ridge path (v3 shape)
+    tagged = tag_ads_multi(ads).cache()
+    m3 = train_weekly_models_multi(tagged, min_train=4)
+    weeks = sorted(row["wk"] for row in tagged.select("wk").distinct().collect())
+    # the bridge maps rounds to weeks; this small world fetches details
+    # in 2+ distinct rounds, enough for the walk-forward to produce a
+    # later-week model trained on earlier-week ads
+    assert len(weeks) >= 2
+    assert m3.count() >= 1 and m1.count() >= 1
+    # walk-forward: the earliest week never gets a model in either path
+    for m in (m1, m3):
+        trained = {row["wk"] for row in m.select("wk").collect()}
+        assert weeks[0] not in trained
+        assert trained <= set(weeks)
+    # predictions exist and are positive prices
+    preds = apply_weekly_models_multi(tagged, m3)
+    got = preds.select("wk", "pred").collect()
+    assert len(got) > 0
+    assert all(p["pred"] > 0 for p in got)
+    # prediction weeks are exactly the modeled weeks present in ads
+    assert {p["wk"] for p in got} == {row["wk"] for row in m3.collect()} & set(
+        weeks
+    )
