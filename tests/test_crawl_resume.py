@@ -127,3 +127,35 @@ def test_known_union_on_read_is_bounded(spark, tmp_path):
     raw = store.read_deltas(spark, "known", n_rounds)
     assert compacted == sorted(r["canonical_url"] for r in raw.collect())
     assert len(compacted) == len(set(compacted))  # membership set: no dups
+
+
+def test_rollback_past_known_compaction_resumes_identically(spark, tmp_path):
+    """Rolling back PAST a known_base compaction round must leave the
+    orphaned snapshot invisible (commit-log truncation) and a resumed
+    run must rewrite it deterministically — same guarantee the
+    delta dirs already have, now for the round-4 known snapshots."""
+    cfg = EngineConfig(compact_every=3)
+    seed, robots = synth.seed_frontier_rows(WORLD), synth.robots_rows(WORLD)
+
+    full = CrawlEngine(spark, SnapshotStore(str(tmp_path / "full")), WORLD, cfg)
+    full.init_state(seed, robots)
+    full.run(N_ROUNDS)
+
+    store_b = SnapshotStore(str(tmp_path / "rb"))
+    other = CrawlEngine(spark, store_b, WORLD, cfg)
+    other.init_state(seed, robots)
+    other.run(N_ROUNDS)
+
+    # N_ROUNDS=6 with compact_every=3 → known snapshots at rounds 3, 6;
+    # roll back to round 2, BEFORE the first known_base
+    assert store_b.latest_snapshot_round("known", N_ROUNDS) == 6
+    store_b.rollback(2)
+    assert store_b.latest_snapshot_round("known", N_ROUNDS) is None
+
+    resumed = CrawlEngine(spark, SnapshotStore(str(tmp_path / "rb")), WORLD, cfg)
+    resumed.run(N_ROUNDS)
+    assert _state_digest(full, N_ROUNDS) == _state_digest(resumed, N_ROUNDS)
+    # compacted view equals the raw delta union after the rewrite too
+    a = sorted(r["canonical_url"] for r in resumed.known(N_ROUNDS).collect())
+    raw = resumed.store.read_deltas(spark, "known", N_ROUNDS)
+    assert a == sorted(r["canonical_url"] for r in raw.collect())
