@@ -634,7 +634,7 @@ class CrawlEngine:
             # probe co-partitioned) — the bloom shards already give the
             # per-round probe its cheap pre-filter.
             known_now = self.known(r - 1)
-            if sum(new_per_host.values()) > 0:
+            if n_new > 0:  # matches the delta-write condition above
                 known_now = known_now.unionByName(new_entries)
             kb = (
                 known_now.withColumn("__h", url_hash(F.col("canonical_url")))

@@ -15,20 +15,23 @@ never race on overwrite-vs-read. The driver always runs the Spark
 query before its oracle, so the ordering holds.
 
 Cleanup: an atexit hook removes every dir this pid created, so
-repeated runs don't accumulate stale ``/tmp/hcs_mat/*_<pid>`` dirs
-(dirs of a crashed pid are also swept opportunistically when they are
-older than a day).
+repeated runs don't accumulate stale ``/tmp/hcs_mat/*_<pid>`` dirs;
+dirs of other pids are swept only when that pid is verifiably DEAD
+(old mtime alone is not enough — a long-lived session's dirs must
+survive other processes exiting).
 """
 
 from __future__ import annotations
 
 import atexit
 import os
+import re
 import shutil
 import time
 
 _ROOT = "/tmp/hcs_mat"
 _SUFFIX = f"_{os.getpid()}"
+_PID_RE = re.compile(r"_(\d+)$")
 
 
 def mat_path(name: str) -> str:
@@ -38,6 +41,16 @@ def mat_path(name: str) -> str:
     return f"{_ROOT}/{name}{_SUFFIX}"
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else — leave it alone
+    return True
+
+
 @atexit.register
 def _cleanup() -> None:
     if not os.path.isdir(_ROOT):
@@ -45,10 +58,14 @@ def _cleanup() -> None:
     now = time.time()
     for d in os.listdir(_ROOT):
         full = os.path.join(_ROOT, d)
-        stale = False
+        if d.endswith(_SUFFIX):
+            shutil.rmtree(full, ignore_errors=True)
+            continue
+        m = _PID_RE.search(d)
         try:
-            stale = now - os.path.getmtime(full) > 86400
+            old = now - os.path.getmtime(full) > 86400
         except OSError:
-            pass
-        if d.endswith(_SUFFIX) or stale:
+            continue
+        # orphaned (crashed) pid's dir: owner dead AND aged out
+        if old and m and not _pid_alive(int(m.group(1))):
             shutil.rmtree(full, ignore_errors=True)

@@ -166,10 +166,11 @@ def build_raw_ads(
     attribute is a pure function of (k, od, price) over the reference's
     actual German value domains. Two call sites: the per-stage oracles
     build it from ``orders`` (k = o_orderkey), and ads_bridge builds it
-    from the crawl store's detail fetch log (k = pmod(xxhash64(url)))
-    — the synth-world stand-in for the reference's BeautifulSoup parse
-    of the fetched detail page. ``k`` must be a non-negative integral
-    column (negative % would make every pick NULL)."""
+    from the crawl store's detail fetch log (k = xxhash64(url) with the
+    sign bit masked — the full 2^63 non-negative domain) — the
+    synth-world stand-in for the reference's BeautifulSoup parse of the
+    fetched detail page. ``k`` must be a non-negative integral column
+    (negative % would make every pick NULL)."""
     size = _df_pick([str(s) for s in _SIZES], k).cast("int")
     capacity = (1 + k % 6).cast("int")
     dmy = lambda c: F.date_format(c, "dd.MM.yyyy")  # noqa: E731

@@ -679,8 +679,9 @@ _M8_MAXHAM = 16
 )
 def m8_caption_image_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption↔image consistency audit: per shared caption, how many
-    images, how many distinct phashes, and how many sit > {_M8_MAXHAM}
-    Hamming bits from the group representative (min_by image_id) —
+    images, how many distinct phashes, and how many sit beyond the
+    near-dup threshold (_M8_MAXHAM = 16 Hamming bits) from the group
+    representative (min_by image_id) —
     the rows a curation pass would drop as mislabeled pairs. The
     multi-image docs in the synthetic corpus produce natural
     same-caption different-pixel groups, so the mismatch column is
@@ -848,7 +849,8 @@ def ivf_ann(
     K-row centroid dim and re-centering is a posexplode/groupBy mean.
     k_cells=None auto-sizes K = ceil(sqrt(n)) (one count job) — the
     standard IVF operating point balancing list length n/K against the
-    K-centroid probe scan. Every vector lands in ONE inverted list;
+    K-centroid probe scan — and forces sampled seeding (first-K is
+    undefined for auto-K when ids aren't dense from 0). Every vector lands in ONE inverted list;
     each probe scans the lists of its `nprobe` nearest centroids
     (equi-join on cell id — probe cost nprobe*n/K, never all-pairs).
     Rounded similarities + centroid-id tiebreaks make every assignment
@@ -858,6 +860,11 @@ def ivf_ann(
         import math
 
         k_cells = max(2, math.ceil(math.sqrt(base.count())))
+        # auto-K implies sampled seeding: 'first' filters vec_id < K,
+        # which matches too few (possibly zero) rows when ids are not
+        # dense from 0 — an empty centroid dim would silently return
+        # an empty result. Sampled seeding is id-independent.
+        seeding = "sampled"
     cents = _seed_centroids(base, k_cells, seeding)
     for _ in range(iters):
         cents = _df_recenter(_df_assign(base, cents))
@@ -902,8 +909,8 @@ def ivf_ann(
     """,
 )
 def s4_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN at the oracle's deterministic settings (K={_IVF_K},
-    {_IVF_ITERS} Lloyd iterations, nprobe={_IVF_NPROBE}, top-3): probes
+    """IVF ANN at the oracle's deterministic settings (K=_IVF_K=8,
+    _IVF_ITERS=2 Lloyd iterations, nprobe=_IVF_NPROBE=2, top-3): probes
     scan the inverted lists of their two nearest centroids. See
     ivf_ann() for the parameterized core; tests/test_plans.py measures
     recall@3 vs s1's brute-force ground truth."""

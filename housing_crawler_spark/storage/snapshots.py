@@ -103,6 +103,17 @@ class SnapshotStore:
     def read_snapshot(self, spark: SparkSession, table: str, rnd: int) -> DataFrame:
         return spark.read.parquet(self._dir(table, "snap", rnd))
 
+    def _delta_paths(self, table: str, from_round: int, up_to_round: int) -> list[str]:
+        """Committed delta dirs for ``table`` in [from_round, up_to]."""
+        paths = []
+        for c in self.commits():
+            if not (from_round <= c["round"] <= up_to_round):
+                continue
+            for t in c["tables"]:
+                if t["table"] == table and t["kind"] == "delta":
+                    paths.append(t["path"])
+        return paths
+
     def read_deltas(
         self,
         spark: SparkSession,
@@ -111,13 +122,7 @@ class SnapshotStore:
         from_round: int = 0,
     ) -> DataFrame | None:
         """Union of committed deltas for ``table`` in [from_round, up_to]."""
-        paths = []
-        for c in self.commits():
-            if not (from_round <= c["round"] <= up_to_round):
-                continue
-            for t in c["tables"]:
-                if t["table"] == table and t["kind"] == "delta":
-                    paths.append(t["path"])
+        paths = self._delta_paths(table, from_round, up_to_round)
         if not paths:
             return None
         return spark.read.parquet(*paths)
@@ -132,14 +137,7 @@ class SnapshotStore:
         b = self.latest_snapshot_round(table, up_to_round)
         snap = self._dir(table, "snap", b) if b is not None else None
         lo = b + 1 if b is not None else 0
-        deltas = []
-        for c in self.commits():
-            if not (lo <= c["round"] <= up_to_round):
-                continue
-            for t in c["tables"]:
-                if t["table"] == table and t["kind"] == "delta":
-                    deltas.append(t["path"])
-        return snap, deltas
+        return snap, self._delta_paths(table, lo, up_to_round)
 
     def read_compacted(
         self, spark: SparkSession, table: str, up_to_round: int

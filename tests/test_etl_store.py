@@ -97,8 +97,6 @@ def test_crawl_to_weekly_models_chain(spark, tmp_path):
     and the k-feature ridge) → predictions — EP1 feeding EP2 feeding
     EP3, all over the snapshot store's output. The reference runs
     these as three cron daemons over CSVs."""
-    from pyspark.sql import functions as F2
-
     from housing_crawler_spark.sources.models import (
         apply_weekly_models_multi,
         tag_ads,
