@@ -143,9 +143,12 @@ def d7_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    # band-min computation runs over a g-FREE projection: the ~KB gram
+    # array per row would otherwise be shuffled through BOTH window
+    # partitionings (the dominant shuffle volume); g is re-joined from
+    # the cached gram table only for the (filtered) candidate set.
     sigs = grams.select(
         "doc_id",
-        "g",
         *[
             F.array_min(
                 F.transform(F.col("g"), (lambda ck: (lambda h: h.bitwiseXOR(F.lit(ck))))(_C[k]))
@@ -161,12 +164,12 @@ def d7_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = F.col("doc_id")
     cands = starred.select(
         doc.alias("dup_id"),
-        "g",
         F.least(
             F.when(F.col("bmin_1") < doc, F.col("bmin_1")),
             F.when(F.col("bmin_2") < doc, F.col("bmin_2")),
         ).alias("keeper"),
     ).filter(F.col("keeper").isNotNull())
+    gd = grams.select(F.col("doc_id").alias("dup_id"), "g")
     k = grams.select(F.col("doc_id").alias("keeper"), F.col("g").alias("kg"))
     inter = F.size(F.array_intersect(F.col("g"), F.col("kg")))
     union_n = F.size(F.col("g")) + F.size(F.col("kg")) - inter
@@ -174,7 +177,8 @@ def d7_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB 0/0 is NULL too, and NULL fails the >= threshold both sides)
     jac = F.when(union_n > 0, inter.cast("double") / union_n)
     return (
-        cands.join(k, "keeper")
+        cands.join(gd, "dup_id")
+        .join(k, "keeper")
         .select("dup_id", "keeper", jac.alias("jac"))
         .filter(F.col("jac") >= 0.6)
         .select("dup_id", "keeper", F.round(F.col("jac") + F.lit(1e-9), 4).alias("jaccard"))
@@ -1077,9 +1081,10 @@ def t5_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    # g-free band-min pass (the d7 shuffle-volume fix): signatures only
+    # through the windows; gram arrays re-joined for the candidate set
     sigs = grams.select(
         "doc_id",
-        "g",
         *[
             F.array_min(
                 F.transform(F.col("g"), (lambda ck: (lambda h: h.bitwiseXOR(F.lit(ck))))(_C[k]))
@@ -1095,7 +1100,6 @@ def t5_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bmin_2", F.min("doc_id").over(w2))
         .select(
             doc.alias("dup_id"),
-            "g",
             F.least(
                 F.when(F.col("bmin_1") < doc, F.col("bmin_1")),
                 F.when(F.col("bmin_2") < doc, F.col("bmin_2")),
@@ -1103,12 +1107,14 @@ def t5_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("keeper").isNotNull())
     )
+    gd = grams.select(F.col("doc_id").alias("dup_id"), "g")
     k = grams.select(F.col("doc_id").alias("keeper"), F.col("g").alias("kg"))
     inter = F.size(F.array_intersect(F.col("g"), F.col("kg")))
     union_n = F.size(F.col("g")) + F.size(F.col("kg")) - inter
     jac = F.when(union_n > 0, inter.cast("double") / union_n)
     dropped = (
-        cands.join(k, "keeper")
+        cands.join(gd, "dup_id")
+        .join(k, "keeper")
         .select("dup_id", jac.alias("jac"))
         .filter(F.col("jac") >= 0.6)
         .select(F.col("dup_id").alias("doc_id"))
