@@ -130,8 +130,10 @@ def d7_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     template-heavy buckets is quadratic and dies at 100x) → exact
     n-gram-Jaccard verification of that link → (dup_id, keeper).
     Catches the planted exact copies and mutated near-copies. Plan:
-    two window mins on the band keys + ONE equi-join to fetch the
-    keeper's gram set; no cross join, no quadratic pair set."""
+    two window mins on the band keys over a signatures-only projection
+    + two equi-joins re-fetching gram sets (candidate's and keeper's)
+    from the cached gram table; no cross join, no quadratic pair
+    set."""
     corpus = _mut(spark, sf_dir)
     grams = (
         corpus.withColumn("__norm", norm_text(F.col("text")))

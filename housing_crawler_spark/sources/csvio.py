@@ -10,7 +10,13 @@ CSV round trip — with the details that actually bite:
 - nulls must stay distinguishable from empty strings (emptyValue vs
   nullValue — pandas' to_csv writes both as '', which the reference
   tolerates because it re-reads with NaN coercion; we pin the
-  lossless convention instead);
+  lossless convention instead). Known sentinel collision: a string
+  cell whose LITERAL value is the two characters ``\\N`` reads back
+  as NULL (it is written unquoted and matches nullValue) — outside
+  the reference's value domain, acceptable for interop. Embedded
+  newlines are likewise out of domain (read side is single-line for
+  splittability; a quoted newline would need multiLine=true, which
+  makes files unsplittable);
 - the schema is EXPLICIT on read. inferSchema at 100 TB is a second
   full scan before the first real one — never pay it; callers pass
   the StructType they expect (or reuse a DataFrame's .schema).
@@ -41,7 +47,9 @@ def write_ads_csv(df: DataFrame, path: str, coalesce: int | None = None) -> None
     df.write.mode("overwrite").options(**_OPTS).csv(path)
 
 
-def read_ads_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+def read_ads_csv(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
     """Explicit-schema CSV scan (no inferSchema — that is a second full
     pass over the data before the first query). PERMISSIVE mode keeps
     malformed rows visible rather than silently dropping them."""

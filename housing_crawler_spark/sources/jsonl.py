@@ -25,7 +25,9 @@ def write_docs_jsonl(df: DataFrame, path: str, coalesce: int | None = None) -> N
     df.write.mode("overwrite").option("ignoreNullFields", "false").json(path)
 
 
-def read_docs_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+def read_docs_jsonl(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
     """Explicit-schema JSONL scan. PERMISSIVE mode + _corrupt_record
     stays OFF here: a malformed line yields nulls in every schema
     column rather than killing the 100 TB job (FAILFAST) or silently

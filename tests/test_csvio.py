@@ -67,6 +67,7 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
             .format("parquet")
             .saveAsTable(name)
         )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         # disable broadcast so the join would otherwise shuffle both sides
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -77,8 +78,6 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert "Exchange" not in plan, plan
         assert joined.count() == 2_000 - len({i * 5 for i in range(2_000) if i * 5 < 10_000})
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         for name in ("t_known_b", "t_links_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
