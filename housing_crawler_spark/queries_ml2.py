@@ -187,6 +187,60 @@ def d7_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# d8 — transitive dedup: connected components over d7's verified
+# near-dup links. d7 assigns each doc a single-pass keeper (its bucket
+# representative); chains a->b->c that only materialize across bands
+# need the closure to agree on ONE canonical keeper per component.
+# Spark: iterative min-label propagation (operators/graph.py, the F11
+# driver-loop pattern, O(diameter) joins). Oracle: exact reachability
+# via a recursive CTE — component = min reachable id, a graph
+# invariant, so the two formulations agree by construction.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d8_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_D7_CHAIN_SQL},
+    dlinks AS (
+      SELECT dup_id, keeper FROM verified WHERE jac >= 0.6
+    ),
+    nodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT dup_id AS doc_id FROM dlinks
+        UNION ALL SELECT keeper FROM dlinks
+      )
+    ),
+    cedges AS (
+      SELECT dup_id AS a, keeper AS b FROM dlinks
+      UNION SELECT keeper, dup_id FROM dlinks
+    ),
+    reach AS (
+      SELECT doc_id, doc_id AS label FROM nodes
+      UNION
+      SELECT e.a AS doc_id, r.label
+      FROM reach r JOIN cedges e ON e.b = r.doc_id
+    )
+    SELECT doc_id, min(label) AS component
+    FROM reach GROUP BY doc_id
+    """,
+)
+def d8_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup closure: every doc in d7's link graph
+    labeled with its component's canonical min-id keeper (iterative
+    min-label propagation; see operators/graph.py for the scale
+    shape). The single query a curation run needs AFTER candidate
+    generation: one canonical representative per duplicate cluster,
+    chains collapsed."""
+    from .operators.graph import min_label_components
+
+    links = d7_dedup_pipeline(spark, sf_dir).select("dup_id", "keeper")
+    comps = min_label_components(links, a="dup_id", b="keeper")
+    return comps.select(F.col("node").alias("doc_id"), "component")
+
+
 # ---------------------------------------------------------------------------
 # s3 — ANN near-dup at corpus scale: hyperplane-LSH BANDS generate one
 # candidate link per (vector, band) via star-to-bucket-representative —

@@ -332,3 +332,28 @@ def test_banded_hamming_skew_guard(spark):
     assert out.count() == n - 1
     # every surviving link points at the representative (image_key 0)
     assert out.filter(F.col("img_a") != 0).count() == 0
+
+
+def test_min_label_components_chain_and_star(spark):
+    """Transitive closure must collapse a long CHAIN (the shape
+    single-pass keeper assignment cannot): 0-1-2-...-19 is one
+    component labeled 0, and a disjoint star (100 <- 101..140) is one
+    component labeled 100. Convergence is O(diameter) driver rounds."""
+    from pyspark.sql import functions as F
+
+    from housing_crawler_spark.operators.graph import min_label_components
+
+    chain = spark.range(19).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    star = spark.range(101, 141).select(
+        F.lit(100).alias("a"), F.col("id").alias("b")
+    )
+    comps = {
+        r["node"]: r["component"]
+        for r in min_label_components(chain.unionByName(star)).collect()
+    }
+    assert {comps[i] for i in range(20)} == {0}
+    assert {comps[i] for i in range(101, 141)} == {100}
+    assert comps[100] == 100
+    assert len(comps) == 20 + 41
