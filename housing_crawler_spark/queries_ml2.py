@@ -234,10 +234,14 @@ def d8_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape). The single query a curation run needs AFTER candidate
     generation: one canonical representative per duplicate cluster,
     chains collapsed."""
-    from .operators.graph import min_label_components
+    from .operators.graph import star_components
 
     links = d7_dedup_pipeline(spark, sf_dir).select("dup_id", "keeper")
-    comps = min_label_components(links, a="dup_id", b="keeper")
+    # small-star/large-star: O(log n) rounds regardless of chain depth
+    # (round-4 verdict item 3 — plain min-label propagation is
+    # O(diameter) and capped); component minima are algorithm-invariant
+    # so the recursive-CTE oracle is unchanged
+    comps = star_components(links, a="dup_id", b="keeper")
     return comps.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -1273,3 +1277,71 @@ def t6_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5int(rtext).alias("redacted_fp"),
     )
     return red.filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0))
+
+
+# ---------------------------------------------------------------------------
+# t7 — COMPONENT-level corpus dedup (round-4 verdict item 4): t5/d7
+# drop docs via single-pass keeper links, but a production prep keeps
+# exactly ONE doc per duplicate CLUSTER — the transitive closure d8
+# computes. t7 chains d8's components back onto the corpus: every doc
+# whose component representative (min id) it is survives, with the
+# cluster size for audit. Plan stays linear: d7's banded links →
+# O(log n) star rounds → one left join + one groupBy.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t7_transitive_corpus_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_D7_CHAIN_SQL},
+    dlinks AS (
+      SELECT dup_id, keeper FROM verified WHERE jac >= 0.6
+    ),
+    nodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT dup_id AS doc_id FROM dlinks
+        UNION ALL SELECT keeper FROM dlinks
+      )
+    ),
+    cedges AS (
+      SELECT dup_id AS a, keeper AS b FROM dlinks
+      UNION SELECT keeper, dup_id FROM dlinks
+    ),
+    reach AS (
+      SELECT doc_id, doc_id AS label FROM nodes
+      UNION
+      SELECT e.a AS doc_id, r.label
+      FROM reach r JOIN cedges e ON e.b = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(label) AS component FROM reach GROUP BY doc_id),
+    allc AS (
+      SELECT c.doc_id, coalesce(p.component, c.doc_id) AS component
+      FROM corpus c LEFT JOIN comp p ON p.doc_id = c.doc_id
+    )
+    SELECT component AS doc_id, count(*)::INT AS cluster_size
+    FROM allc GROUP BY component
+    """,
+)
+def t7_transitive_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep one doc per duplicate CLUSTER: d8's connected components
+    (small-star/large-star over d7's verified near-dup links) mapped
+    back onto the full corpus — docs outside the link graph are their
+    own singleton cluster. Returns the kept representative ids with
+    their cluster sizes (the dedup audit a curation run reports).
+    Oracle: exact recursive-CTE reachability, identical by the
+    component-minimum graph invariant."""
+    from .operators.graph import star_components
+
+    links = d7_dedup_pipeline(spark, sf_dir).select("dup_id", "keeper")
+    comps = star_components(links, a="dup_id", b="keeper").withColumnRenamed(
+        "node", "doc_id"
+    )
+    corpus_ids = _mut(spark, sf_dir).select("doc_id")
+    allc = corpus_ids.join(comps, "doc_id", "left").select(
+        F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+    return (
+        allc.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("int").alias("cluster_size"))
+        .select(F.col("component").alias("doc_id"), "cluster_size")
+    )

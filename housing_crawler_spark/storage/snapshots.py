@@ -67,6 +67,43 @@ class SnapshotStore:
     ) -> dict:
         return self._write(df, table, "snap", rnd, options)
 
+    def write_bucketed_snapshot(
+        self,
+        df_dirty: DataFrame,
+        table: str,
+        rnd: int,
+        bucket_col: str,
+        inherit: dict[str, str] | None = None,
+    ) -> dict:
+        """Incremental (Iceberg-manifest-shaped) snapshot: ``df_dirty``
+        holds the FULL current rows of only the buckets that changed,
+        keyed by ``bucket_col``. They are written partitioned by bucket
+        under this round's snap dir; every untouched bucket is carried
+        forward by REFERENCE — its manifest entry keeps pointing at the
+        older round's bucket dir, zero bytes rewritten. Readers use the
+        manifest (``read_snapshot`` / ``read_snapshot_buckets``), so a
+        compaction's write volume is ∝ dirty-bucket rows, not |table|.
+
+        Old snap dirs stay referenced by later manifests until every
+        bucket has gone dirty — a vacuum must walk manifest
+        reachability before deleting (exactly Iceberg's rule)."""
+        path = self._dir(table, "snap", rnd)
+        (
+            df_dirty.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
+        )
+        manifest = dict(inherit or {})
+        prefix = f"{bucket_col}="
+        for d in sorted(os.listdir(path)):
+            if d.startswith(prefix):
+                manifest[d[len(prefix):]] = os.path.join(path, d)
+        return {
+            "table": table,
+            "kind": "snap",
+            "path": path,
+            "bucket_col": bucket_col,
+            "manifest": manifest,
+        }
+
     def write_delta(
         self, df: DataFrame, table: str, rnd: int, options: dict | None = None
     ) -> dict:
@@ -100,8 +137,37 @@ class SnapshotStore:
 
     # -- read --------------------------------------------------------------
 
+    def snapshot_info(self, table: str, rnd: int) -> dict | None:
+        """Commit-log entry of ``table``'s snapshot at round ``rnd``
+        (carries the bucket manifest for bucketed snapshots)."""
+        for c in self.commits():
+            if c["round"] != rnd:
+                continue
+            for t in c["tables"]:
+                if t["table"] == table and t["kind"] == "snap":
+                    return t
+        return None
+
     def read_snapshot(self, spark: SparkSession, table: str, rnd: int) -> DataFrame:
+        info = self.snapshot_info(table, rnd)
+        if info is not None and "manifest" in info:
+            paths = sorted(info["manifest"].values())
+            if not paths:
+                raise FileNotFoundError(f"{table}@{rnd}: empty bucket manifest")
+            return spark.read.parquet(*paths)
         return spark.read.parquet(self._dir(table, "snap", rnd))
+
+    def read_snapshot_buckets(
+        self, spark: SparkSession, table: str, rnd: int, buckets: list[int]
+    ) -> DataFrame | None:
+        """Bucket-pruned read of a bucketed snapshot: only the manifest
+        paths for ``buckets`` are listed/scanned — the I/O the per-round
+        membership probe pays is ∝ candidate buckets, not |table|."""
+        info = self.snapshot_info(table, rnd)
+        assert info is not None and "manifest" in info, f"{table}@{rnd} not bucketed"
+        manifest = info["manifest"]
+        paths = [manifest[str(b)] for b in sorted(set(buckets)) if str(b) in manifest]
+        return spark.read.parquet(*paths) if paths else None
 
     def _delta_paths(self, table: str, from_round: int, up_to_round: int) -> list[str]:
         """Committed delta dirs for ``table`` in [from_round, up_to]."""
@@ -147,10 +213,12 @@ class SnapshotStore:
         dirs listed per read to the compaction interval — without one,
         a 10^4-round run lists 10^4 delta dirs per round (a metadata /
         small-file bottleneck, not a data-volume one)."""
-        snap, deltas = self.compacted_paths(table, up_to_round)
-        if snap is None:
+        b = self.latest_snapshot_round(table, up_to_round)
+        if b is None:
+            deltas = self._delta_paths(table, 0, up_to_round)
             return spark.read.parquet(*deltas) if deltas else None
-        base = spark.read.parquet(snap)
+        base = self.read_snapshot(spark, table, b)  # manifest-aware
+        deltas = self._delta_paths(table, b + 1, up_to_round)
         return base.unionByName(spark.read.parquet(*deltas)) if deltas else base
 
     # -- rollback ----------------------------------------------------------

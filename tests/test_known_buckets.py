@@ -1,0 +1,194 @@
+"""Hash-bucketed known-set maintenance (round-4 verdict item 1 — the
+last O(|known|)-per-cycle path in the engine).
+
+Three guarantees, each asserted at the artifact level, not inferred:
+
+(a) INCREMENTAL COMPACTION — a known_base compaction rewrites only the
+    url_hash buckets that gained rows since the previous base; every
+    clean bucket's manifest entry is carried forward BY REFERENCE
+    (identical path string into the older snap dir, zero bytes).
+(b) PRUNED, SHUFFLE-FREE PROBE — the per-round exact backstop reads
+    only the manifest paths of the buckets the bloom-surviving
+    candidates hash into, and the known side of both probe joins is
+    never shuffled (BroadcastHashJoin with known as the streamed side:
+    no "Exchange hashpartitioning" anywhere in the plan).
+(c) SEMANTICS UNCHANGED — crawl results with the bucketed backstop +
+    incremental compaction equal the plain-anti-join engine's exactly
+    (membership, fetch order, images), incl. across resume.
+
+The reference reloads months of CSV history per page
+(crawl_wggesucht.py:244-276); this is the same membership problem done
+with bounded I/O at 10^10 URLs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from housing_crawler_spark import synth
+from housing_crawler_spark.crawl import CrawlEngine, EngineConfig
+from housing_crawler_spark.storage.snapshots import SnapshotStore
+
+WORLD = synth.WorldConfig(n_hosts=4, base_pages=6)
+N_ROUNDS = 8
+CFG = EngineConfig(
+    bloom_shards=8,
+    bloom_min_known=1,  # bloom (and with it the pruned backstop) always on
+    compact_every=2,  # several compactions within N_ROUNDS
+    known_buckets=8,
+)
+
+
+def _run(spark, root: str, cfg: EngineConfig) -> CrawlEngine:
+    eng = CrawlEngine(spark, SnapshotStore(root), WORLD, cfg)
+    eng.init_state(synth.seed_frontier_rows(WORLD), synth.robots_rows(WORLD))
+    eng.run(N_ROUNDS)
+    return eng
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory) -> CrawlEngine:
+    return _run(spark, str(tmp_path_factory.mktemp("kbuck")), CFG)
+
+
+@pytest.fixture(scope="module")
+def plain(spark, tmp_path_factory) -> CrawlEngine:
+    # bloom permanently off → the legacy full exact anti-join path
+    return _run(
+        spark,
+        str(tmp_path_factory.mktemp("kplain")),
+        EngineConfig(bloom_min_known=10**12, compact_every=2, known_buckets=8),
+    )
+
+
+# -- (a) incremental compaction -------------------------------------------
+
+
+def _known_snaps(store: SnapshotStore):
+    out = []
+    for c in store.commits():
+        for t in c["tables"]:
+            if t["table"] == "known" and t["kind"] == "snap":
+                out.append((c["round"], t))
+    return out
+
+
+def test_compaction_rewrites_only_dirty_buckets(bucketed):
+    snaps = _known_snaps(bucketed.store)
+    assert len(snaps) >= 2, "need at least two compactions"
+    for rnd, info in snaps:
+        assert "manifest" in info, f"known snap @ r{rnd} not bucketed"
+    # after the first base, every manifest must inherit ≥1 clean-bucket
+    # path from an OLDER snap dir, and rewrite only dirty buckets
+    for (r0, a), (r1, b) in zip(snaps, snaps[1:]):
+        man0, man1 = a["manifest"], b["manifest"]
+        inherited = [k for k, p in man1.items() if man0.get(k) == p]
+        rewritten = [k for k, p in man1.items() if man0.get(k) != p]
+        assert inherited, f"r{r1}: no bucket carried forward by reference"
+        # rewritten buckets are exactly the dirty ones the engine counted
+        m = next(
+            c["metrics"] for c in bucketed.store.commits() if c["round"] == r1
+        )
+        assert m["known_dirty_buckets"] == len(rewritten), (r1, rewritten)
+        # rewritten entries live under THIS round's snap dir; inherited
+        # entries still point into older rounds' dirs (zero bytes moved)
+        for k in rewritten:
+            assert f"snap-{r1:06d}" in man1[k], man1[k]
+        for k in inherited:
+            assert f"snap-{r1:06d}" not in man1[k], man1[k]
+
+
+def test_manifest_union_is_exact_membership(spark, bucketed):
+    """read_compacted via the manifest == raw union of every delta."""
+    got = sorted(
+        r["canonical_url"] for r in bucketed.known(N_ROUNDS).collect()
+    )
+    raw = bucketed.store.read_deltas(spark, "known", N_ROUNDS)
+    assert got == sorted(r["canonical_url"] for r in raw.collect())
+    assert len(got) == len(set(got))
+
+
+# -- (b) pruned, shuffle-free probe ---------------------------------------
+
+
+def test_pruned_membership_reads_only_candidate_buckets(spark, bucketed):
+    store = bucketed.store
+    b = store.latest_snapshot_round("known", N_ROUNDS)
+    info = store.snapshot_info("known", b)
+    want = [0, 3]
+    df = bucketed._known_membership_pruned(b, want)  # no deltas after base
+    files = df.inputFiles()
+    assert files, "pruned read returned no files"
+    allowed = tuple(
+        os.path.abspath(info["manifest"][str(x)]) for x in want if str(x) in info["manifest"]
+    )
+    for f in files:
+        local = os.path.abspath(f.replace("file:", ""))
+        assert local.startswith(allowed), f"{f} outside candidate buckets"
+
+
+def test_probe_joins_never_shuffle_the_known_side(spark, bucketed):
+    """The exact backstop = two broadcast joins of the small candidate
+    set against the bucket-pruned known scan. Plan-level proof: no
+    shuffle Exchange at all (broadcast exchanges only)."""
+    from pyspark.sql import functions as F
+
+    store = bucketed.store
+    b = store.latest_snapshot_round("known", N_ROUNDS)
+    known_sub = bucketed._known_membership_pruned(b, list(range(CFG.known_buckets)))
+    cand = known_sub.limit(5).unionByName(
+        spark.createDataFrame(
+            [(123456789, "https://host-0/nowhere")], "url_hash long, canonical_url string"
+        )
+    )
+    keys = ["url_hash", "canonical_url"]
+    hits = known_sub.join(F.broadcast(cand), keys, "left_semi")
+    new = cand.join(F.broadcast(hits), keys, "left_anti")
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert new.count() == 1  # only the synthetic never-seen URL survives
+
+
+# -- (c) unchanged semantics ----------------------------------------------
+
+
+def test_bucketed_backstop_matches_plain_engine(bucketed, plain):
+    for view in ("seen", "known"):
+        a = {r["canonical_url"] for r in getattr(bucketed, view)(N_ROUNDS).collect()}
+        c = {r["canonical_url"] for r in getattr(plain, view)(N_ROUNDS).collect()}
+        assert a == c, view
+    a = [
+        (r["round"], r["canonical_url"], r["kind"])
+        for r in bucketed.fetch_log(N_ROUNDS).orderBy("round", "host_idx", "rank").collect()
+    ]
+    c = [
+        (r["round"], r["canonical_url"], r["kind"])
+        for r in plain.fetch_log(N_ROUNDS).orderBy("round", "host_idx", "rank").collect()
+    ]
+    assert a == c
+
+
+def test_resume_over_bucketed_base_is_bit_identical(spark, tmp_path, bucketed):
+    """Kill after a compaction round, resume, and the final state must
+    equal the uninterrupted bucketed run's exactly."""
+    root = str(tmp_path / "kresume")
+    eng = CrawlEngine(spark, SnapshotStore(root), WORLD, CFG)
+    eng.init_state(synth.seed_frontier_rows(WORLD), synth.robots_rows(WORLD))
+    eng.run(5)  # stops after a compaction at round 4
+    resumed = CrawlEngine(spark, SnapshotStore(root), WORLD, CFG)
+    resumed.run(N_ROUNDS)
+    a = sorted(r["canonical_url"] for r in resumed.known(N_ROUNDS).collect())
+    b = sorted(r["canonical_url"] for r in bucketed.known(N_ROUNDS).collect())
+    assert a == b
+    la = [
+        tuple(r)
+        for r in resumed.fetch_log(N_ROUNDS).orderBy("round", "host_idx", "rank").collect()
+    ]
+    lb = [
+        tuple(r)
+        for r in bucketed.fetch_log(N_ROUNDS).orderBy("round", "host_idx", "rank").collect()
+    ]
+    assert la == lb

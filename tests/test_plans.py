@@ -357,3 +357,43 @@ def test_min_label_components_chain_and_star(spark):
     assert {comps[i] for i in range(101, 141)} == {100}
     assert comps[100] == 100
     assert len(comps) == 20 + 41
+
+
+def test_star_components_collapses_1000_hop_chain(spark):
+    """small-star/large-star converges in O(log n) rounds regardless of
+    diameter: a 1,000-hop chain (min-label propagation would need 1,001
+    rounds and raise at its default cap) plus a disjoint star and a
+    singleton self-loop, all labeled correctly within 15 iterations."""
+    from pyspark.sql import functions as F
+
+    from housing_crawler_spark.operators.graph import star_components
+
+    chain = spark.range(1000).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    star = spark.range(2001, 2041).select(
+        F.lit(2000).alias("a"), F.col("id").alias("b")
+    )
+    loner = spark.createDataFrame([(5000, 5000)], "a long, b long")
+    edges = chain.unionByName(star).unionByName(loner)
+    # max_iter=15 IS the O(log n) assertion: ~2*log2(1000)+c rounds
+    comps = {
+        r["node"]: r["component"]
+        for r in star_components(edges, max_iter=15).collect()
+    }
+    assert {comps[i] for i in range(1001)} == {0}
+    assert {comps[i] for i in range(2001, 2041)} == {2000}
+    assert comps[2000] == 2000 and comps[5000] == 5000
+    assert len(comps) == 1001 + 41 + 1
+
+    # parity with min-label on a shallow graph (d8's production shape)
+    from housing_crawler_spark.operators.graph import min_label_components
+
+    shallow = spark.range(8).select(
+        (F.col("id") % 3).alias("a"), (F.col("id") + 10).alias("b")
+    )
+    a = sorted(tuple(r) for r in star_components(shallow).collect())
+    b = sorted(
+        (r["node"], r["component"]) for r in min_label_components(shallow).collect()
+    )
+    assert a == b
