@@ -47,6 +47,12 @@ HEADLINE = [
     "t5_corpus_prep",  # quality → langid → exact dedup → near-dup → corpus
     "t6_redact_pii",  # regex scrub + audit counts (round 4)
     "v3_weekly_model_train_multi",  # k-feature walk-forward ridge (round 4)
+    # round 5: the Arrow codec path over the FULL sf corpus (~7.5k
+    # images at sf0.1 — the 400-doc cap is gone) and its banded dedup
+    "m1_image_decode_stats",  # gen→encode→decode→PSNR verify, mat table
+    "m3_phash_image_near_dup",  # real-phash banded Hamming near-dup
+    "t7_transitive_corpus_dedup",  # d8 components → one doc per cluster
+    "v5_weekly_model_train_k6",  # k=6 Gaussian-elimination ridge
 ]
 
 # single-shot timing couldn't distinguish a regression from noise

@@ -62,11 +62,51 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
+def _module_fp(fn) -> str | None:
+    """Content fingerprint of the module file defining a query fn —
+    coarse (module-level) on purpose: oracle SQL strings are built at
+    import from module-level fragments, so only the module text pins
+    the full tested artifact."""
+    import hashlib
+    import inspect
+
+    try:
+        path = inspect.getsourcefile(fn)
+        with open(path, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()[:16]
+    except (OSError, TypeError):
+        return None
+
+
+def _ledger_fps() -> dict[str, str]:
+    """name -> module fingerprint recorded when the query last got a
+    green verification (QUERY_FPS.json, refreshed each round start by
+    scripts/update_query_fps.py)."""
+    try:
+        with open(os.path.join(_ROOT, "QUERY_FPS.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 _LAST = _last_green_round()
+_FPS = _ledger_fps()
 _POS = {name: i for i, name in enumerate(_R)}
+
+
+def _effective_green(name: str) -> int:
+    """A green driver row only counts while the query's defining module
+    is UNCHANGED since it was recorded (round-4 advice: edited-but-
+    previously-green queries must re-queue like never-checked ones)."""
+    rnd = _LAST.get(name, 0)
+    if rnd and _FPS.get(name) != _module_fp(_R[name].fn):
+        return 0
+    return rnd
+
+
 REGISTRY = {
     name: _R[name]
-    for name in sorted(_R, key=lambda n: (_LAST.get(n, 0), _POS[n]))
+    for name in sorted(_R, key=lambda n: (_effective_green(n), _POS[n]))
 }
 
 __all__ = ["REGISTRY"]

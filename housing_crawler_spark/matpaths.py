@@ -63,9 +63,14 @@ def _cleanup() -> None:
             continue
         m = _PID_RE.search(d)
         try:
-            old = now - os.path.getmtime(full) > 86400
+            age = now - os.path.getmtime(full)
         except OSError:
             continue
-        # orphaned (crashed) pid's dir: owner dead AND aged out
-        if old and m and not _pid_alive(int(m.group(1))):
+        # orphaned (crashed) pid's dir: owner dead AND aged out — OR so
+        # old that pid liveness is meaningless (pid-number recycling
+        # would otherwise starve the sweep forever, round-4 advice; no
+        # legitimate session runs for a week)
+        if age > 7 * 86400 or (
+            age > 86400 and m and not _pid_alive(int(m.group(1)))
+        ):
             shutil.rmtree(full, ignore_errors=True)

@@ -183,7 +183,7 @@ def a14_latest_complete_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_model_weeks.py:46)."""
     ev = load(spark, sf_dir, "events")
     weekly = ev.groupBy(F.weekofyear("ts").alias("wk")).agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.desc("wk"))
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("wk"))  # |weeks| rows
     return (
         weekly.withColumn("rk", F.dense_rank().over(w))
         .filter(F.col("rk") == 2)

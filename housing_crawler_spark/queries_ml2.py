@@ -890,7 +890,7 @@ def _seed_centroids(base: DataFrame, k_cells: int, seeding: str) -> DataFrame:
         .orderBy("__r", "vec_id")
         .limit(k_cells)
     )
-    w = Window.orderBy("__r", "vec_id")  # K rows only
+    w = Window.partitionBy(F.lit(1)).orderBy("__r", "vec_id")  # K rows only
     return picks.select(
         (F.row_number().over(w) - 1).alias("cid"), F.col("e").alias("c")
     )
@@ -903,7 +903,7 @@ def ivf_ann(
     iters: int = _IVF_ITERS,
     nprobe: int = _IVF_NPROBE,
     topk: int = 3,
-    seeding: str = "first",
+    seeding: str | None = None,
 ) -> DataFrame:
     """IVF approximate NN core (the other scale path next to s2's LSH).
     K-means coarse quantizer: deterministic seeds ('first' = the
@@ -923,12 +923,21 @@ def ivf_ann(
     if k_cells is None:
         import math
 
-        k_cells = max(2, math.ceil(math.sqrt(base.count())))
-        # auto-K implies sampled seeding: 'first' filters vec_id < K,
+        # auto-K REQUIRES sampled seeding: 'first' filters vec_id < K,
         # which matches too few (possibly zero) rows when ids are not
-        # dense from 0 — an empty centroid dim would silently return
-        # an empty result. Sampled seeding is id-independent.
+        # dense from 0 — an empty centroid dim would silently return an
+        # empty result. seeding=None means auto; an EXPLICIT 'first'
+        # with auto-K is a caller error, not something to override
+        # silently (round-4 advice).
+        if seeding == "first":
+            raise ValueError(
+                "ivf_ann: seeding='first' is undefined with k_cells=None "
+                "(auto-K); pass an explicit k_cells or seeding='sampled'"
+            )
+        k_cells = max(2, math.ceil(math.sqrt(base.count())))
         seeding = "sampled"
+    elif seeding is None:
+        seeding = "first"  # the oracle's pinned deterministic setting
     cents = _seed_centroids(base, k_cells, seeding)
     for _ in range(iters):
         cents = _df_recenter(_df_assign(base, cents))

@@ -23,6 +23,10 @@ from .queries import query
 from .queries_etl_pipeline import _RAW_SQL, _raw_ads_df
 from .sources.models import (
     FEATURE_EPOCH,
+    _det3,
+    gauss_ridge_sql,
+    iso_week_tag,
+    train_weekly_models_k,
     apply_weekly_models,
     apply_weekly_models_multi,
     ridge3_exprs,
@@ -230,34 +234,65 @@ def v3_weekly_model_train_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # j7 — the reference's return_significative_coef (utils.py:978-993):
 # statsmodels params ⋈ pvalues on 'variable', query("p_value<0.05"),
-# sort by coef desc. Re-expressed Spark-first: per-variable univariate
-# OLS of ln(price) on each feature via ONE full-table aggregate
-# (centered sufficient statistics), coefficient and t-statistic tables
-# derived from it, joined on variable (the reference's merge), and the
-# significance gate |t| > z_{0.975} = 1.959964 — the exact large-df
-# critical value (n ≈ 6·10^4 here; statsmodels' t-CDF differs from the
-# normal by < 1e-5 at this df, and no SQL engine exposes the t CDF).
-# Both engines share the formula strings verbatim (the ridge3 trick).
+# sort by coef desc. statsmodels fits ONE JOINT multivariate OLS, so
+# (round-4 advice) this is the joint ln(price) ~ 1 + x1 + x2 + x3 fit:
+# centered normal equations C b = d solved by Cramer (the ridge3
+# machinery at λ=0), t-statistics from the classic joint-OLS variance
+# Var(b_i) = σ²·[C⁻¹]_ii with [C⁻¹]_ii = principal-minor_ii/det(C) and
+# σ² = SSE/(n−4). Gate |t| > z_{0.975} = 1.959964, the exact large-df
+# critical value (n ≈ 6·10^4; the t-CDF differs from normal by < 1e-5
+# there, and no SQL engine exposes the t CDF). All formula strings are
+# shared verbatim via staged selects/CTEs (identical parse trees →
+# identical IEEE arithmetic → hash-equal).
 # ---------------------------------------------------------------------------
 
 _J7_CRIT = 1.959964  # two-sided 5% normal critical value (df -> inf)
 
-_J7_STATS = {
-    "sxx_c": "(sxx - sx*sx/n)",
-    "sxy_c": "(sxy - sx*sy/n)",
-    "syy_c": "(syy - sy*sy/n)",
+# stage 1: centered Gram / cross-moments over the single agg row
+_J7_S1 = {
+    **{
+        f"c{i}{j}": f"(s{i}{j} - sx{i}*sx{j}/n)"
+        for i in range(1, 4)
+        for j in range(i, 4)
+    },
+    **{f"d{i}": f"(sy{i} - sx{i}*sy/n)" for i in range(1, 4)},
+    "syyc": "(syy - sy*sy/n)",
 }
-_J7_COEF = f"({_J7_STATS['sxy_c']} / {_J7_STATS['sxx_c']})"
-_J7_SSE = f"({_J7_STATS['syy_c']} - {_J7_COEF}*{_J7_STATS['sxy_c']})"
-_J7_T = f"({_J7_COEF} / sqrt(({_J7_SSE}/(n - 2.0)) / {_J7_STATS['sxx_c']}))"
+_J7_C = [["c11", "c12", "c13"], ["c12", "c22", "c23"], ["c13", "c23", "c33"]]
+# stage 2: determinant, Cramer coefficients, principal minors
+_J7_S2 = {"det": _det3(_J7_C)}
+for _i in range(3):
+    _m = [row[:] for row in _J7_C]
+    for _r in range(3):
+        _m[_r][_i] = f"d{_r + 1}"
+    _J7_S2[f"bb{_i + 1}"] = f"({_det3(_m)} / det)"
+_J7_S2["m11"] = "(c22*c33 - c23*c23)"
+_J7_S2["m22"] = "(c11*c33 - c13*c13)"
+_J7_S2["m33"] = "(c11*c22 - c12*c12)"
+# stage 3: residual sum of squares of the JOINT fit
+_J7_S3 = {"sse": "(syyc - (bb1*d1 + bb2*d2 + bb3*d3))"}
+# stage 4: joint t-statistics
+_J7_S4 = {
+    f"t{i}": f"(bb{i} / sqrt((sse/(n - 4.0)) * (m{i}{i}/det)))"
+    for i in range(1, 4)
+}
+_J7_STAGES = (_J7_S1, _J7_S2, _J7_S3, _J7_S4)
 
 _J7_AGG_SQL = """
       SELECT count(*)::DOUBLE AS n, sum(y) AS sy, sum(y*y) AS syy,
-             sum(x1) AS sx1, sum(x1*x1) AS s11, sum(x1*y) AS sy1,
-             sum(x2) AS sx2, sum(x2*x2) AS s22, sum(x2*y) AS sy2,
-             sum(x3) AS sx3, sum(x3*x3) AS s33, sum(x3*y) AS sy3
+             sum(x1) AS sx1, sum(x2) AS sx2, sum(x3) AS sx3,
+             sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x1*x3) AS s13,
+             sum(x2*x2) AS s22, sum(x2*x3) AS s23, sum(x3*x3) AS s33,
+             sum(x1*y) AS sy1, sum(x2*y) AS sy2, sum(x3*y) AS sy3
       FROM tagged3
 """
+
+_J7_CTES = ",\n    ".join(
+    f"jst{k} AS (SELECT *, "
+    + ", ".join(f"{e} AS {nm}" for nm, e in st.items())
+    + f" FROM {'aggd' if k == 0 else f'jst{k - 1}'})"
+    for k, st in enumerate(_J7_STAGES)
+)
 
 
 @query(
@@ -265,15 +300,17 @@ _J7_AGG_SQL = """
     oracle=f"""
     WITH {_BASE_MULTI_SQL},
     aggd AS ({_J7_AGG_SQL}),
-    stats AS (
-      SELECT 'x1' AS variable, n, sy, syy, sx1 AS sx, s11 AS sxx, sy1 AS sxy FROM aggd
-      UNION ALL
-      SELECT 'x2', n, sy, syy, sx2, s22, sy2 FROM aggd
-      UNION ALL
-      SELECT 'x3', n, sy, syy, sx3, s33, sy3 FROM aggd
+    {_J7_CTES},
+    coefs AS (
+      SELECT 'x1' AS variable, bb1 AS coef FROM jst3
+      UNION ALL SELECT 'x2', bb2 FROM jst3
+      UNION ALL SELECT 'x3', bb3 FROM jst3
     ),
-    coefs AS (SELECT variable, {_J7_COEF} AS coef FROM stats),
-    tstats AS (SELECT variable, {_J7_T} AS t_stat FROM stats)
+    tstats AS (
+      SELECT 'x1' AS variable, t1 AS t_stat FROM jst3
+      UNION ALL SELECT 'x2', t2 FROM jst3
+      UNION ALL SELECT 'x3', t3 FROM jst3
+    )
     SELECT c.variable,
            round(c.coef + 1e-9, 6) + 0.0 AS coef,
            round(t.t_stat + 1e-9, 3) + 0.0 AS t_stat
@@ -282,36 +319,32 @@ _J7_AGG_SQL = """
     """,
 )
 def j7_significant_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Significant-coefficient report (SURVEY J7): per-variable OLS
-    coefficient table joined to its t-statistic table on ``variable``,
-    keeping |t| above the two-sided 5% critical value, mirroring the
-    reference's params⋈pvalues merge + p<0.05 query. One full-table
-    aggregate feeds both sides; the 3-row join is broadcast."""
+    """Significant-coefficient report (SURVEY J7): the JOINT
+    multivariate OLS's coefficient table joined to its t-statistic
+    table on ``variable``, keeping |t| above the two-sided 5% critical
+    value — the reference's statsmodels params⋈pvalues merge + p<0.05
+    query (utils.py:978-993), joint fit and all. One full-table
+    aggregate feeds four tiny staged projections; the 3-row join is
+    broadcast."""
     tagged = tag_ads_multi(_raw_ads_df(spark, sf_dir))
     y = F.col("y")
     aggd = tagged.agg(
         F.count("*").cast("double").alias("n"),
         F.sum(y).alias("sy"),
         F.sum(y * y).alias("syy"),
+        *[F.sum(F.col(f"x{i}")).alias(f"sx{i}") for i in range(1, 4)],
         *[
-            a
+            F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"s{i}{j}")
             for i in range(1, 4)
-            for a in (
-                F.sum(F.col(f"x{i}")).alias(f"sx{i}"),
-                F.sum(F.col(f"x{i}") * F.col(f"x{i}")).alias(f"s{i}{i}"),
-                F.sum(F.col(f"x{i}") * y).alias(f"sy{i}"),
-            )
+            for j in range(i, 4)
         ],
+        *[F.sum(F.col(f"x{i}") * y).alias(f"sy{i}") for i in range(1, 4)],
     )
-    stack = ", ".join(f"'x{i}', sx{i}, s{i}{i}, sy{i}" for i in range(1, 4))
-    stats = aggd.selectExpr(
-        "n",
-        "sy",
-        "syy",
-        f"stack(3, {stack}) AS (variable, sx, sxx, sxy)",
-    )
-    coefs = stats.select("variable", F.expr(_J7_COEF).alias("coef"))
-    tstats = stats.select("variable", F.expr(_J7_T).alias("t_stat"))
+    df = aggd
+    for st in _J7_STAGES:
+        df = df.select("*", *[F.expr(e).alias(nm) for nm, e in st.items()])
+    coefs = df.selectExpr("stack(3, 'x1', bb1, 'x2', bb2, 'x3', bb3) AS (variable, coef)")
+    tstats = df.selectExpr("stack(3, 'x1', t1, 'x2', t2, 'x3', t3) AS (variable, t_stat)")
     return (
         coefs.join(F.broadcast(tstats), "variable")
         .filter(F.abs(F.col("t_stat")) > _J7_CRIT)
@@ -347,4 +380,131 @@ def v4_weekly_model_apply_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("pred") + F.lit(1e-9), 2) + F.lit(0.0)).alias(
             "pred_price"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# v5 — walk-forward ridge at k=6 (round-4 verdict item 6: the Cramer
+# solve caps at k=3; the reference fits its FULL feature matrix,
+# train_model_weeks.py:66). The Gaussian-elimination stage chain
+# (sources/models.gauss_ridge_stages) is shared verbatim: Spark runs
+# it as chained selects, DuckDB as chained CTEs — identical expression
+# text per stage → identical IEEE arithmetic → hash-equal output.
+# Accuracy vs numpy's reference solve: tests/test_models.py.
+# ---------------------------------------------------------------------------
+
+_K6 = 6
+_K6_MIN_TRAIN = 8
+
+_W6_COLS = ",\n             ".join(
+    ["count(*)::DOUBLE AS n", "sum(y) AS sy"]
+    + [f"sum(x{i}) AS sx{i}" for i in range(1, _K6 + 1)]
+    + [
+        f"sum(x{i}*x{j}) AS s{i}{j}"
+        for i in range(1, _K6 + 1)
+        for j in range(i, _K6 + 1)
+    ]
+    + [f"sum(x{i}*y) AS sy{i}" for i in range(1, _K6 + 1)]
+)
+_C6_COLS = ",\n             ".join(
+    ["sum(n) OVER w AS cn", "sum(sy) OVER w AS csy"]
+    + [f"sum(sx{i}) OVER w AS csx{i}" for i in range(1, _K6 + 1)]
+    + [
+        f"sum(s{i}{j}) OVER w AS cs{i}{j}"
+        for i in range(1, _K6 + 1)
+        for j in range(i, _K6 + 1)
+    ]
+    + [f"sum(sy{i}) OVER w AS csy{i}" for i in range(1, _K6 + 1)]
+)
+_G6_CTES, _G6_LAST = gauss_ridge_sql(_K6, src="cumk6")
+
+_BASE_K6_SQL = f"""
+    {_RAW_SQL},
+    base6 AS (
+      SELECT id, price_euros, size_sqm, capacity, latitude, longitude,
+             extra_costs_euros,
+             CASE WHEN contains(published_on, '.')
+                  THEN strptime(published_on, '%d.%m.%Y')::DATE
+                  ELSE strptime(published_on, '%Y-%m-%d')::DATE
+             END AS pub
+      FROM raw
+      WHERE price_euros > 0 AND size_sqm IS NOT NULL
+    ),
+    tagged6 AS (
+      SELECT id, isoyear(pub) * 100 + weekofyear(pub) AS wk,
+             ln(price_euros::DOUBLE) AS y,
+             size_sqm::DOUBLE AS x1,
+             capacity::DOUBLE AS x2,
+             (pub - DATE '{FEATURE_EPOCH}')::DOUBLE / 100.0 AS x3,
+             latitude::DOUBLE AS x4,
+             longitude::DOUBLE AS x5,
+             coalesce(extra_costs_euros, 0.0)::DOUBLE / 100.0 AS x6
+      FROM base6
+    ),
+    weekly6 AS (
+      SELECT wk, {_W6_COLS}
+      FROM tagged6 GROUP BY wk
+    ),
+    cumk6 AS (
+      SELECT wk, {_C6_COLS}
+      FROM weekly6
+      WINDOW w AS (ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    cumk6f AS (SELECT * FROM cumk6 WHERE cn >= {_K6_MIN_TRAIN})
+"""
+# stage chain must start from the min_train-filtered rows (divisions by
+# cn/gram pivots are only well-defined there) — rebind the source name
+_G6_CTES = _G6_CTES.replace("FROM cumk6)", "FROM cumk6f)", 1)
+
+
+def _tagged_k6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ads = _raw_ads_df(spark, sf_dir)
+    pub = F.coalesce(
+        F.try_to_date(F.col("published_on"), "dd.MM.yyyy"),
+        F.try_to_date(F.col("published_on"), "yyyy-MM-dd"),
+    )
+    return ads.filter(
+        (F.col("price_euros") > 0) & F.col("size_sqm").isNotNull()
+    ).select(
+        "id",
+        iso_week_tag(pub),
+        F.log(F.col("price_euros").cast("double")).alias("y"),
+        F.col("size_sqm").cast("double").alias("x1"),
+        F.col("WG_size").cast("double").alias("x2"),
+        (F.datediff(pub, F.lit(FEATURE_EPOCH)).cast("double") / 100.0).alias("x3"),
+        F.col("latitude").cast("double").alias("x4"),
+        F.col("longitude").cast("double").alias("x5"),
+        (
+            F.coalesce(F.col("extra_costs_euros").cast("double"), F.lit(0.0))
+            / 100.0
+        ).alias("x6"),
+    )
+
+
+@query(
+    "v5_weekly_model_train_k6",
+    oracle=f"""
+    WITH {_BASE_K6_SQL},
+    {_G6_CTES}
+    SELECT wk, cn::BIGINT AS n_train,
+           {", ".join(f"round(b{i} + 1e-9, 4) + 0.0 AS b{i}" for i in range(_K6 + 1))}
+    FROM {_G6_LAST}
+    """,
+)
+def v5_weekly_model_train_k6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward weekly ridge at k=6 (size, capacity, time-trend,
+    lat, lon, extra-costs): the full-feature-matrix fidelity step past
+    v3's k=3 — still ONE cumulative-window pass over O(k²) sufficient
+    statistics, solved by the shared Gaussian-elimination stage chain
+    (no driver loop, no per-week re-scan)."""
+    models = train_weekly_models_k(
+        _tagged_k6(spark, sf_dir), _K6, min_train=_K6_MIN_TRAIN
+    )
+    return models.select(
+        "wk",
+        "n_train",
+        *[
+            (F.round(F.col(f"b{i}") + F.lit(1e-9), 4) + F.lit(0.0)).alias(f"b{i}")
+            for i in range(_K6 + 1)
+        ],
     )

@@ -99,7 +99,10 @@ def w4_rank_groups_by_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = c.groupBy("c_mktsegment").agg(
         F.round((F.avg("c_acctbal")) + F.lit(1e-9), 4).alias("mean_bal")
     )
-    return agg.withColumn("seg_rank", F.rank().over(Window.orderBy(F.desc("mean_bal"))))
+    return agg.withColumn(
+        "seg_rank",
+        F.rank().over(Window.partitionBy(F.lit(1)).orderBy(F.desc("mean_bal"))),
+    )  # |segments| rows
 
 
 @query(

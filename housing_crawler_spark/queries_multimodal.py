@@ -25,7 +25,14 @@ from . import schemas, synth
 from .queries import load, query
 
 _WORLD = synth.WorldConfig(seed=42)
-_MAX_DOCS = 400  # bound the synthetic corpus per run
+# Corpus bound per run: default covers EVERY documents row at all
+# shipped scale factors (sf0.1 = 5,000 docs → ~7,500 images through
+# the mat tables), so the driver/bench rows exercise the full corpus
+# (round-4 verdict item 5 — the old 400-doc cap hid 92% of sf0.1).
+# Env-overridable for quick local iteration.
+import os as _os
+
+_MAX_DOCS = int(_os.environ.get("HCS_MM_MAX_DOCS", "100000"))
 
 
 def _image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,6 +46,10 @@ def _image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _MAX_DOCS)
         .select("doc_id", F.substring("text", 1, 60).alias("caption_raw"))
+        # spread the codec stage across the cluster: the source is a
+        # single small parquet file (1-2 input splits), which would pin
+        # the Arrow gen/encode work to 2 of 32 cores
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id")
     )
 
     def gen_batches(it):
@@ -157,6 +168,7 @@ def _audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _MAX_DOCS)
         .select("doc_id", F.substring("text", 1, 40).alias("cap"))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id")
     )
 
     def gen(it):
@@ -201,6 +213,7 @@ def _video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _MAX_DOCS // 2)
         .select("doc_id", F.substring("text", 1, 40).alias("cap"))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id")
     )
 
     def gen(it):

@@ -75,7 +75,13 @@ def train_weekly_models(
         F.sum(xe * ye).alias("sxy"),
         F.sum(xe * xe).alias("sxx"),
     )
-    w = Window.orderBy(wk).rowsBetween(Window.unboundedPreceding, -1)
+    # explicit single-partition spec over the |weeks|-row aggregate
+    # (same plan, silences the benign WindowExec no-partition warning)
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(wk)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     cum = weekly.select(
         wk,
         F.sum("n").over(w).alias("cn"),
@@ -213,7 +219,11 @@ def train_weekly_models_multi(
             aggs.append(F.sum(xs[i] * xs[j]).alias(f"s{i + 1}{j + 1}"))
     aggs += [F.sum(x * y).alias(f"sy{i + 1}") for i, x in enumerate(xs)]
     weekly = ads.groupBy("wk").agg(*aggs)
-    w = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, -1)
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     cum_cols = [F.sum("n").over(w).alias("cn"), F.sum("sy").over(w).alias("csy")]
     cum_cols += [F.sum(f"sx{i}").over(w).alias(f"csx{i}") for i in range(1, 4)]
     for i in range(1, 4):
@@ -239,6 +249,113 @@ def apply_weekly_models_multi(ads: DataFrame, models: DataFrame) -> DataFrame:
         + F.col("b3") * F.col("x3")
     )
     return ads.join(F.broadcast(models), "wk").withColumn("pred", pred)
+
+
+# ---------------------------------------------------------------------------
+# General k-feature walk-forward ridge (round-4 verdict item 6: the
+# Cramer solve above is hardwired to k=3; the reference fits its FULL
+# feature matrix, train_model_weeks.py:66). Gaussian elimination
+# without pivoting on the centered ridge system (C + λI)β = d — safe,
+# the matrix is symmetric positive definite — emitted as a CHAIN of
+# named intermediate expressions (one stage per elimination /
+# back-substitution step). Both engines evaluate the SAME expression
+# strings stage by stage (Spark: chained selects via F.expr; DuckDB:
+# chained CTEs), so parse trees and hence IEEE results are identical;
+# numerical accuracy is pinned by the numpy lstsq twin in
+# tests/test_models.py. Expression-size note: stages keep each formula
+# a 3-term combination of named prior columns — no k!-term Cramer
+# blowup, O(k^3) total ops.
+# ---------------------------------------------------------------------------
+
+
+def gauss_ridge_stages(k: int, lam: float = RIDGE_LAMBDA) -> list[dict[str, str]]:
+    """Ordered stages of {new_column: expression} solving the centered
+    ridge normal equations over the cumulative-stat columns
+    (cn, csy, csx1..k, cs{i}{j} i≤j, csy1..k). Each stage references
+    only columns from earlier stages, so it maps 1:1 onto both a Spark
+    select chain and a DuckDB CTE chain. Final stage yields b0..bk."""
+    assert 1 <= k <= 9, "single-digit feature indices"
+    stages: list[dict[str, str]] = []
+    init: dict[str, str] = {}
+    for i in range(1, k + 1):
+        for j in range(i, k + 1):
+            base = f"(cs{i}{j} - csx{i}*csx{j}/cn)"
+            init[f"g0_{i}_{j}"] = f"({base} + {lam!r})" if i == j else base
+        init[f"h0_{i}"] = f"(csy{i} - csx{i}*csy/cn)"
+    stages.append(init)
+    for p in range(1, k):
+        st: dict[str, str] = {}
+        piv = f"g{p - 1}_{p}_{p}"
+        for i in range(p + 1, k + 1):
+            for j in range(i, k + 1):
+                st[f"g{p}_{i}_{j}"] = (
+                    f"(g{p - 1}_{i}_{j} - g{p - 1}_{p}_{i}*g{p - 1}_{p}_{j}/{piv})"
+                )
+            st[f"h{p}_{i}"] = (
+                f"(h{p - 1}_{i} - g{p - 1}_{p}_{i}*h{p - 1}_{p}/{piv})"
+            )
+        stages.append(st)
+    for i in range(k, 0, -1):  # back-substitution, one stage per b_i
+        terms = "".join(f" - g{i - 1}_{i}_{j}*b{j}" for j in range(i + 1, k + 1))
+        stages.append({f"b{i}": f"((h{i - 1}_{i}{terms}) / g{i - 1}_{i}_{i})"})
+    b0 = " + ".join(f"b{i}*csx{i}" for i in range(1, k + 1))
+    stages.append({"b0": f"((csy - ({b0})) / cn)"})
+    return stages
+
+
+def gauss_ridge_sql(k: int, lam: float = RIDGE_LAMBDA, src: str = "cumk") -> tuple[str, str]:
+    """(CTE chain text, final CTE name) for the DuckDB oracle — the
+    same stages gauss_ridge_stages feeds Spark, verbatim."""
+    ctes, prev = [], src
+    for idx, st in enumerate(gauss_ridge_stages(k, lam)):
+        name = f"gstage{idx}"
+        cols = ", ".join(f"{e} AS {n}" for n, e in st.items())
+        ctes.append(f"{name} AS (SELECT *, {cols} FROM {prev})")
+        prev = name
+    return ",\n    ".join(ctes), prev
+
+
+def train_weekly_models_k(
+    ads: DataFrame, k: int, lam: float = RIDGE_LAMBDA, min_train: int = 8
+) -> DataFrame:
+    """Walk-forward weekly k-feature ridge for ANY k (1..9): fit
+    ln(price) ~ 1 + x1..xk on all strictly-earlier weeks in one
+    cumulative-window pass. Input (wk, y, x1..xk); output
+    (wk, n_train, b0..bk).
+
+    Scale shape as train_weekly_models_multi: facts reduce map-side to
+    O(k²) per-week sufficient statistics, the single-partition window
+    only ever sees |weeks| rows."""
+    y = F.col("y")
+    aggs = [F.count("*").cast("double").alias("n"), F.sum(y).alias("sy")]
+    aggs += [F.sum(F.col(f"x{i}")).alias(f"sx{i}") for i in range(1, k + 1)]
+    for i in range(1, k + 1):
+        for j in range(i, k + 1):
+            aggs.append(F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"s{i}{j}"))
+    aggs += [F.sum(F.col(f"x{i}") * y).alias(f"sy{i}") for i in range(1, k + 1)]
+    weekly = ads.groupBy("wk").agg(*aggs)
+    # partitionBy(lit(1)) = same single partition, but an EXPLICIT spec
+    # (silences the benign WindowExec no-partition warning; the frame
+    # is the |weeks|-row aggregate, never the facts)
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_cols = [F.sum("n").over(w).alias("cn"), F.sum("sy").over(w).alias("csy")]
+    cum_cols += [F.sum(f"sx{i}").over(w).alias(f"csx{i}") for i in range(1, k + 1)]
+    for i in range(1, k + 1):
+        for j in range(i, k + 1):
+            cum_cols.append(F.sum(f"s{i}{j}").over(w).alias(f"cs{i}{j}"))
+    cum_cols += [F.sum(f"sy{i}").over(w).alias(f"csy{i}") for i in range(1, k + 1)]
+    df = weekly.select("wk", *cum_cols).filter(F.col("cn") >= min_train)
+    for st in gauss_ridge_stages(k, lam):
+        df = df.select("*", *[F.expr(e).alias(n) for n, e in st.items()])
+    return df.select(
+        "wk",
+        F.col("cn").cast("long").alias("n_train"),
+        *[F.col(f"b{i}") for i in range(0, k + 1)],
+    )
 
 
 def write_models(models: DataFrame, path: str) -> None:

@@ -105,3 +105,43 @@ def test_artifact_roundtrip_and_apply(spark, sf_smoke, tmp_path):
     for p in preds[:50]:
         want = math.exp(p["intercept"] + p["slope"] * p["size_sqm"])
         assert abs(p["pred"] - want) < 1e-6
+
+
+def test_k6_gauss_ridge_matches_numpy_twin(spark, sf_smoke):
+    """The Gaussian-elimination stage chain (gauss_ridge_stages, k=6)
+    must agree with numpy's linalg.solve on the same walk-forward
+    training sets — accuracy of the staged solve, complementing v5's
+    cross-engine bit-parity oracle."""
+    from housing_crawler_spark.queries_models import _K6_MIN_TRAIN, _tagged_k6
+    from housing_crawler_spark.sources.models import train_weekly_models_k
+
+    k = 6
+    tagged = _tagged_k6(spark, sf_smoke)
+    rows = tagged.collect()
+    models = {
+        m["wk"]: m
+        for m in train_weekly_models_k(tagged, k, min_train=_K6_MIN_TRAIN).collect()
+    }
+    assert len(models) > 5
+    weeks = sorted(models)
+    for wk in (weeks[0], weeks[len(weeks) // 2], weeks[-1]):
+        train = [r for r in rows if r["wk"] < wk]
+        X = np.array([[r[f"x{i}"] for i in range(1, k + 1)] for r in train], float)
+        y = np.array([r["y"] for r in train], float)
+        Xc, yc = X - X.mean(axis=0), y - y.mean()
+        b = np.linalg.solve(Xc.T @ Xc + RIDGE_LAMBDA * np.eye(k), Xc.T @ yc)
+        b0 = float(y.mean() - X.mean(axis=0) @ b)
+        got = models[wk]
+        assert abs(got["b0"] - b0) < 1e-6, wk
+        for i in range(k):
+            assert abs(got[f"b{i + 1}"] - b[i]) < 1e-6, (wk, i)
+        assert got["n_train"] == len(train)
+    # lstsq cross-check on the augmented (1|X) system at lam→its ridge
+    # optimum: residuals must beat the mean-only baseline (model is real)
+    wk = weeks[-1]
+    train = [r for r in rows if r["wk"] < wk]
+    X = np.array([[r[f"x{i}"] for i in range(1, k + 1)] for r in train], float)
+    y = np.array([r["y"] for r in train], float)
+    got = models[wk]
+    pred = got["b0"] + X @ np.array([got[f"b{i}"] for i in range(1, k + 1)])
+    assert ((y - pred) ** 2).sum() < ((y - y.mean()) ** 2).sum()
