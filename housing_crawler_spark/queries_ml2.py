@@ -1354,3 +1354,101 @@ def t7_transitive_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("int").alias("cluster_size"))
         .select(F.col("component").alias("doc_id"), "cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# s5 — COMPONENT-level embedding dedup (the t7 pattern on the vector
+# side): s3's verified near-dup links → small-star/large-star
+# components → one representative vector per duplicate cluster with
+# the cluster size. The curation shape for embedding-dedup at corpus
+# scale (SemDeDup-style): candidate links stay ≤ BANDS·n, the closure
+# is O(log n) rounds, and the final pass is one left join + groupBy.
+# ---------------------------------------------------------------------------
+
+_S5_LINKS_SQL = f"""
+    corpus0 AS ({_EMB_SQL}),
+    ecorpus AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+      FROM corpus0
+    ),
+    ebucketed AS (
+      SELECT vec_id,
+             {_band_bucket_sql("embedding", 0)} AS b0,
+             {_band_bucket_sql("embedding", 1)} AS b1
+      FROM ecorpus
+    ),
+    estarred AS (
+      SELECT vec_id,
+             min(vec_id) OVER (PARTITION BY b0) AS bmin_0,
+             min(vec_id) OVER (PARTITION BY b1) AS bmin_1
+      FROM ebucketed
+    ),
+    ecands AS (
+      SELECT DISTINCT vec_a, vec_id AS vec_b FROM (
+        SELECT vec_id,
+               unnest([CASE WHEN bmin_0 < vec_id THEN bmin_0 END,
+                       CASE WHEN bmin_1 < vec_id THEN bmin_1 END]) AS vec_a
+        FROM estarred
+      ) WHERE vec_a IS NOT NULL
+    ),
+    elinks AS (
+      SELECT c.vec_a, c.vec_b
+      FROM ecands c
+      JOIN ecorpus ka ON ka.vec_id = c.vec_a
+      JOIN ecorpus kb ON kb.vec_id = c.vec_b
+      WHERE {_cos_sql("ka.embedding", "kb.embedding")} >= 0.999
+    )
+"""
+
+
+@query(
+    "s5_embedding_cluster_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_S5_LINKS_SQL},
+    enodes AS (
+      SELECT DISTINCT vec_id FROM (
+        SELECT vec_a AS vec_id FROM elinks
+        UNION ALL SELECT vec_b FROM elinks
+      )
+    ),
+    eedges AS (
+      SELECT vec_a AS a, vec_b AS b FROM elinks
+      UNION SELECT vec_b, vec_a FROM elinks
+    ),
+    ereach AS (
+      SELECT vec_id, vec_id AS label FROM enodes
+      UNION
+      SELECT e.a AS vec_id, r.label
+      FROM ereach r JOIN eedges e ON e.b = r.vec_id
+    ),
+    ecomp AS (SELECT vec_id, min(label) AS component FROM ereach GROUP BY vec_id),
+    eallc AS (
+      SELECT c.vec_id, coalesce(p.component, c.vec_id) AS component
+      FROM ecorpus c LEFT JOIN ecomp p ON p.vec_id = c.vec_id
+    )
+    SELECT component AS vec_id, count(*)::INT AS cluster_size
+    FROM eallc GROUP BY component
+    """,
+)
+def s5_embedding_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep one EMBEDDING per duplicate cluster: connected components
+    (small-star/large-star) over s3's cosine-verified near-dup links,
+    mapped back onto the full vector corpus — vectors outside the link
+    graph are their own singleton cluster. Output: representative
+    vec_id + cluster size. Oracle: exact recursive-CTE reachability
+    (component minima are algorithm-invariant)."""
+    from .operators.graph import star_components
+
+    links = s3_ann_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    comps = star_components(links, a="vec_a", b="vec_b").withColumnRenamed(
+        "node", "vec_id"
+    )
+    corpus_ids = _emb(spark, sf_dir).select("vec_id")
+    allc = corpus_ids.join(comps, "vec_id", "left").select(
+        F.coalesce("component", F.col("vec_id")).alias("component")
+    )
+    return (
+        allc.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("int").alias("cluster_size"))
+        .select(F.col("component").alias("vec_id"), "cluster_size")
+    )
