@@ -89,6 +89,11 @@ class EngineConfig:
     # (at 10^10 URLs: thousands of buckets, so a probe's candidate set
     # prunes to a small fraction of the table and a compaction rewrites
     # only the buckets that actually gained rows)
+    backstop_broadcast_max: int = 2_000_000  # maybe-seen rows above which
+    # the exact backstop falls back from broadcast joins to a shuffle
+    # anti-join (a revisit-heavy round can make MOST links bloom
+    # survivors; broadcasting an unbounded candidate set would pressure
+    # the driver, while the fallback still reads only pruned buckets)
     fetch_partitions: int | None = None  # default: spark.sql.shuffle.partitions
     snapshot_partitions: int = 8  # files per compacted base (local default)
     verify_decode: bool = False  # round-trip decode + invariant check at ingest
@@ -364,18 +369,25 @@ class CrawlEngine:
         ).cache()
         fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        buckets = sorted(
-            int(row["__kb"])
-            for row in maybe.select(self._kb(F.col("url_hash")).alias("__kb"))
-            .distinct()
-            .collect()
+        row = (
+            maybe.select(self._kb(F.col("url_hash")).alias("__kb"))
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"), F.collect_set("__kb").alias("kbs"))
+            .first()
         )
+        n_maybe, buckets = int(row["n"]), sorted(int(b) for b in row["kbs"])
         if not buckets:
             return fresh, probed
         known_sub = self._known_membership_pruned(r, buckets)
         if known_sub is None:
             return fresh.unionByName(maybe), probed
         keys = ["url_hash", "canonical_url"]
+        if n_maybe > cfg.backstop_broadcast_max:
+            # candidate flood (revisit-heavy round): a broadcast this big
+            # would pressure the driver — shuffle the candidates instead;
+            # the known side is STILL only the pruned candidate buckets
+            gated = fresh.unionByName(maybe.join(known_sub, keys, "left_anti"))
+            return gated, probed
         hits = known_sub.join(F.broadcast(maybe.select(*keys)), keys, "left_semi")
         gated = fresh.unionByName(
             maybe.join(F.broadcast(hits), keys, "left_anti")

@@ -171,6 +171,36 @@ def test_bucketed_backstop_matches_plain_engine(bucketed, plain):
     assert a == c
 
 
+def test_shuffle_fallback_backstop_matches_broadcast(spark, tmp_path_factory, bucketed):
+    """backstop_broadcast_max=0 forces the candidate-flood fallback (shuffle
+    anti-join against the SAME bucket-pruned known scan) on every round;
+    membership and fetch order must be unchanged."""
+    flooded = _run(
+        spark,
+        str(tmp_path_factory.mktemp("kflood")),
+        EngineConfig(
+            bloom_shards=8,
+            bloom_min_known=1,
+            compact_every=2,
+            known_buckets=8,
+            backstop_broadcast_max=0,
+        ),
+    )
+    for view in ("seen", "known"):
+        a = {r["canonical_url"] for r in flooded.__getattribute__(view)(N_ROUNDS).collect()}
+        c = {r["canonical_url"] for r in getattr(bucketed, view)(N_ROUNDS).collect()}
+        assert a == c, view
+    a = [
+        (r["round"], r["canonical_url"], r["kind"])
+        for r in flooded.fetch_log(N_ROUNDS).orderBy("round", "host_idx", "rank").collect()
+    ]
+    c = [
+        (r["round"], r["canonical_url"], r["kind"])
+        for r in bucketed.fetch_log(N_ROUNDS).orderBy("round", "host_idx", "rank").collect()
+    ]
+    assert a == c
+
+
 def test_resume_over_bucketed_base_is_bit_identical(spark, tmp_path, bucketed):
     """Kill after a compaction round, resume, and the final state must
     equal the uninterrupted bucketed run's exactly."""
