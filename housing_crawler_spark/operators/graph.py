@@ -149,6 +149,13 @@ def star_components(
         n_new = new_canon.count()
         changed = new_canon.subtract(canon).count()
         canon, n_edges = new_canon, n_new
+        # break on new ⊆ old, not set equality: a PURE-REMOVAL round
+        # (empty subtract, smaller count) only drops redundant alternate
+        # edges — every hi keeps its (hi, min) edge via ss_hi, so the
+        # label read-off below already equals the true fixpoint's, and
+        # waiting for new == old would cost one more full superstep.
+        # Invariant pinned by tests/test_star_twin.py's exhaustive
+        # random-graph check against a union-find oracle.
         if changed == 0:
             break
     else:
