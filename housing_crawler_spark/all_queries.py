@@ -104,9 +104,16 @@ def _effective_green(name: str) -> int:
     return rnd
 
 
+# Primary key: effective green round (0 = re-check due). Secondary:
+# RAW last green round, so when more queries need re-checking than the
+# gate's 50 slots, the stalest verification debt (never-checked, then
+# oldest-green-but-edited) wins a slot and recently-driver-green
+# queries with fresh edits absorb the overflow to the next round.
 REGISTRY = {
     name: _R[name]
-    for name in sorted(_R, key=lambda n: (_effective_green(n), _POS[n]))
+    for name in sorted(
+        _R, key=lambda n: (_effective_green(n), _LAST.get(n, 0), _POS[n])
+    )
 }
 
 __all__ = ["REGISTRY"]
