@@ -28,10 +28,17 @@ per round):
 
       frontier(r) = known(≤r) ANTI seen(≤r), captcha-overridden
 
-  and every ``compact_every`` rounds it is materialized as a
-  range-partitioned base snapshot (``repartitionByRange(url_hash)`` —
-  the north_rule's frontier compaction) so reconstruction reads a
-  bounded number of delta files.
+  and every ``compact_every`` rounds it is materialized as a base
+  snapshot so reconstruction reads a bounded number of delta files.
+  The base is hash-bucketed like the known set (pmod(url_hash,
+  frontier_buckets) behind a manifest, url_hash-sorted within each
+  bucket for rowgroup range pruning — the north_rule's frontier
+  compaction), and because every frontier mutation flows through the
+  fetch_log/known deltas, a compaction rewrites ONLY the buckets
+  those deltas touch: clean buckets carry forward by reference across
+  generations, removal-emptied buckets drop out of the manifest, and
+  a quiet interval re-commits the old manifest without writing a byte
+  (test_frontier_buckets.py).
 - ``fetch_log`` / ``images`` — append-only deltas (per-partition
   lineage + metrics; the input_hint image table).
 
@@ -89,6 +96,11 @@ class EngineConfig:
     # (at 10^10 URLs: thousands of buckets, so a probe's candidate set
     # prunes to a small fraction of the table and a compaction rewrites
     # only the buckets that actually gained rows)
+    frontier_buckets: int = 16  # url_hash buckets of the frontier base
+    # (same incremental-compaction shape as known_buckets, but the
+    # frontier is MUTABLE: a compaction rewrites exactly the buckets
+    # some fetched/admitted/captcha'd URL hashes into since the last
+    # base, and a removal-only bucket goes empty rather than inheriting)
     backstop_broadcast_max: int = 2_000_000  # maybe-seen rows above which
     # the exact backstop falls back from broadcast joins to a shuffle
     # anti-join (a revisit-heavy round can make MOST links bloom
@@ -317,6 +329,10 @@ class CrawlEngine:
         """Known-set bucket of a url_hash column (pmod keeps negative
         xxhash64 values in range)."""
         return F.pmod(col, F.lit(self.cfg.known_buckets)).cast("int")
+
+    def _fb(self, col) -> F.Column:
+        """Frontier-base bucket of a url_hash column."""
+        return F.pmod(col, F.lit(self.cfg.frontier_buckets)).cast("int")
 
     def _known_membership_pruned(self, r: int, buckets: list[int]) -> DataFrame | None:
         """(url_hash, canonical_url) membership rows restricted to the
@@ -704,6 +720,7 @@ class CrawlEngine:
             n_known = self.known(0).count() + n_new
 
         n_dirty = None  # known-base buckets rewritten (compaction rounds only)
+        n_dirty_f = None  # frontier-base buckets rewritten
         if r % cfg.compact_every == 0:
             # round-r deltas aren't committed yet, so build frontier(r)
             # from the in-memory round algebra instead of the store
@@ -722,12 +739,86 @@ class CrawlEngine:
                 .drop("c_attempts", "c_next_round")
                 .unionByName(new_entries)
             )
-            base = (
-                fr_next.withColumn("__h", url_hash(F.col("canonical_url")))
-                .repartitionByRange(cfg.snapshot_partitions, "__h")
-                .drop("__h")
+            # frontier_base: INCREMENTAL — every frontier mutation flows
+            # through exactly two delta tables (fetch_log: removals +
+            # captcha overrides; known: additions), so the buckets that
+            # changed since the previous base are precisely the buckets
+            # some URL in those deltas (plus this round's in-memory
+            # fetched/new_entries) hashes into. Rewrite those, carry
+            # every clean bucket forward by reference, and DROP the
+            # manifest entry of a dirty bucket that went empty (the
+            # frontier shrinks — removal-only buckets must not inherit).
+            # Rewrite volume ∝ touched-bucket rows, not |frontier|; the
+            # range-partitioned-per-bucket sort keeps rowgroup stats for
+            # the north_rule's range-pruned frontier reads.
+            b_prev_f = store.latest_snapshot_round("frontier_base", r - 1)
+            prev_f = (
+                store.snapshot_info("frontier_base", b_prev_f)
+                if b_prev_f is not None
+                else None
             )
-            infos.append(store.write_snapshot(base, "frontier_base", r))
+            if prev_f is not None and "manifest" in prev_f:
+                touched = fetched.select("canonical_url")
+                for tbl in ("fetch_log", "known"):
+                    d = store.read_deltas(
+                        spark, tbl, r - 1, from_round=b_prev_f + 1
+                    )
+                    if d is not None:
+                        touched = touched.unionByName(d.select("canonical_url"))
+                if n_new > 0:
+                    touched = touched.unionByName(
+                        new_entries.select("canonical_url")
+                    )
+                dirty_f = sorted(
+                    int(row["__fb"])
+                    for row in touched.select(
+                        self._fb(url_hash(F.col("canonical_url"))).alias("__fb")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                n_dirty_f = len(dirty_f)
+                if not dirty_f:
+                    infos.append({**prev_f})
+                else:
+                    fb_dirty = (
+                        fr_next.withColumn(
+                            "__fb", self._fb(url_hash(F.col("canonical_url")))
+                        )
+                        .filter(F.col("__fb").isin(dirty_f))
+                        .withColumn("__h", url_hash(F.col("canonical_url")))
+                        .repartition(max(1, n_dirty_f), "__fb")
+                        .sortWithinPartitions("__fb", "__h")
+                        .drop("__h")
+                    )
+                    infos.append(
+                        store.write_bucketed_snapshot(
+                            fb_dirty,
+                            "frontier_base",
+                            r,
+                            "__fb",
+                            inherit=prev_f["manifest"],
+                            dirty=dirty_f,
+                        )
+                    )
+            else:
+                # first compaction after init (round-0 base is a plain
+                # byte-copy): fold the whole frontier into bucketed form
+                n_dirty_f = cfg.frontier_buckets
+                fb_all = (
+                    fr_next.withColumn(
+                        "__fb", self._fb(url_hash(F.col("canonical_url")))
+                    )
+                    .withColumn("__h", url_hash(F.col("canonical_url")))
+                    .repartition(max(1, cfg.frontier_buckets), "__fb")
+                    .sortWithinPartitions("__fb", "__h")
+                    .drop("__h")
+                )
+                infos.append(
+                    store.write_bucketed_snapshot(
+                        fb_all, "frontier_base", r, "__fb"
+                    )
+                )
             # known_base: same cadence, INCREMENTAL — the membership
             # set lives hash-bucketed by pmod(url_hash, known_buckets)
             # behind a per-bucket manifest; a compaction folds the
@@ -807,6 +898,7 @@ class CrawlEngine:
             "timings": timings,
             **bloom_meta,
             **({} if n_dirty is None else {"known_dirty_buckets": n_dirty}),
+            **({} if n_dirty_f is None else {"frontier_dirty_buckets": n_dirty_f}),
         }
         store.commit_round(r, infos, metrics)
         fetched.unpersist()

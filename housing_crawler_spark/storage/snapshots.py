@@ -74,6 +74,7 @@ class SnapshotStore:
         rnd: int,
         bucket_col: str,
         inherit: dict[str, str] | None = None,
+        dirty: list[int] | None = None,
     ) -> dict:
         """Incremental (Iceberg-manifest-shaped) snapshot: ``df_dirty``
         holds the FULL current rows of only the buckets that changed,
@@ -84,6 +85,14 @@ class SnapshotStore:
         manifest (``read_snapshot`` / ``read_snapshot_buckets``), so a
         compaction's write volume is ∝ dirty-bucket rows, not |table|.
 
+        ``dirty`` (when given) lists every bucket the caller knows
+        changed. A dirty bucket that ends up with ZERO current rows
+        writes no partition dir, and for an append-only table that
+        can't happen — but for a MUTABLE table (the frontier: fetched
+        rows leave it) a removal-only bucket must become empty, not
+        silently inherit its old rows, so its inherited manifest entry
+        is dropped. Append-only callers may omit ``dirty``.
+
         Old snap dirs stay referenced by later manifests until every
         bucket has gone dirty — a vacuum must walk manifest
         reachability before deleting (exactly Iceberg's rule)."""
@@ -91,7 +100,21 @@ class SnapshotStore:
         (
             df_dirty.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
         )
+        # zero-row schema sidecar: a mutable table can drain completely
+        # (every manifest entry dropped), and an empty partitioned write
+        # leaves no parquet footers to infer a schema from — readers
+        # fall back to this when the manifest is empty. ("_"-prefixed
+        # dirs are invisible to Spark's dir-level parquet listing.)
+        (
+            df_dirty.drop(bucket_col)
+            .limit(0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "_schema"))
+        )
         manifest = dict(inherit or {})
+        for b in dirty or ():
+            manifest.pop(str(b), None)
         prefix = f"{bucket_col}="
         for d in sorted(os.listdir(path)):
             if d.startswith(prefix):
@@ -153,7 +176,8 @@ class SnapshotStore:
         if info is not None and "manifest" in info:
             paths = sorted(info["manifest"].values())
             if not paths:
-                raise FileNotFoundError(f"{table}@{rnd}: empty bucket manifest")
+                # fully-drained table: typed empty state via the sidecar
+                return spark.read.parquet(os.path.join(info["path"], "_schema"))
             return spark.read.parquet(*paths)
         return spark.read.parquet(self._dir(table, "snap", rnd))
 
