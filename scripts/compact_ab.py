@@ -10,6 +10,15 @@ off, and reports wall seconds plus the bytes actually written under
 each store (the bucketed base's carry-forward means the compaction
 runs write only buckets that gained rows).
 
+Two honesty guards learned from the first run: a small WARMUP crawl
+runs first (the opening leg otherwise eats the JVM/codegen warmup —
+~40 s — and reads as compaction overhead), and the compaction-OFF leg
+runs before the ON leg so page-cache writeback from the bigger run
+can't slow the baseline. At this sandbox scale the wall overhead is
+dominated by fixed per-job submission cost (each compaction adds a few
+extra tiny Spark jobs), NOT data volume — the scale-relevant outputs
+are bytes_ratio and the dirty-bucket trajectories.
+
 Usage: python scripts/compact_ab.py [--rounds 8] [--hosts 40]
        [--pages 150] [--cpus 32]
 """
@@ -64,6 +73,11 @@ def run_world(spark, root: str, rounds: int, hosts: int, pages: int, compact_eve
         "dirty_buckets_per_compaction": [
             m["known_dirty_buckets"] for m in metrics if "known_dirty_buckets" in m
         ],
+        "frontier_dirty_per_compaction": [
+            m["frontier_dirty_buckets"]
+            for m in metrics
+            if "frontier_dirty_buckets" in m
+        ],
     }
 
 
@@ -78,15 +92,30 @@ def main() -> None:
     from housing_crawler_spark.session import spark_session
 
     spark = spark_session("hcs-compact-ab", cores=args.cpus)
+    # warmup: absorb JVM/codegen/page-cache cold start outside the timers
+    wroot = tempfile.mkdtemp(prefix="hcs_ab_warm_")
+    try:
+        run_world(spark, wroot, 2, 8, 20, 10**9)
+    finally:
+        shutil.rmtree(wroot, ignore_errors=True)
+    # two passes per leg, interleaved off/on/off/on; the SECOND pass of
+    # each leg is the reported reading (both fully warm, both preceded
+    # by a comparable page-cache history) — first-pass numbers are kept
+    # for the spread
     out = {}
-    for label, ce in (("compact_on", 4), ("compact_off", 10**9)):
-        root = tempfile.mkdtemp(prefix=f"hcs_ab_{label}_")
-        try:
-            out[label] = run_world(
-                spark, root, args.rounds, args.hosts, args.pages, ce
-            )
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
+    for rep in (1, 2):
+        for label, ce in (("compact_off", 10**9), ("compact_on", 4)):
+            root = tempfile.mkdtemp(prefix=f"hcs_ab_{label}_")
+            try:
+                res = run_world(
+                    spark, root, args.rounds, args.hosts, args.pages, ce
+                )
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+            if rep == 1:
+                out[f"{label}_pass1_wall_sec"] = res["wall_sec"]
+            else:
+                out[label] = res
     on, off = out["compact_on"], out["compact_off"]
     out["overhead_pct"] = round(100.0 * (on["wall_sec"] / off["wall_sec"] - 1), 1)
     out["bytes_ratio"] = round(on["bytes_written"] / max(off["bytes_written"], 1), 3)
