@@ -20,6 +20,7 @@ from .queries_ml import (
     _duped,
     _md5int_sql,
     _NORM_SQL,
+    _TOKENS_SQL,
     char_3grams,
     cosine,
     md5int,
@@ -1451,4 +1452,114 @@ def s5_embedding_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         allc.groupBy("component")
         .agg(F.count(F.lit(1)).cast("int").alias("cluster_size"))
         .select(F.col("component").alias("vec_id"), "cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t8 — benchmark decontamination scan (the GPT-3/PaLM-style eval-overlap
+# pass a training-data pipeline runs LAST): flag every corpus document
+# sharing a full token 5-gram with any eval-set item. The eval set is
+# derived deterministically from the corpus itself (an 8-token window
+# of every 37th doc — simulating benchmark questions that leaked from
+# the same distribution), so no external data is needed and leakage is
+# guaranteed to exist: each source doc plus its template near-dups.
+#
+# 100 TB shape: eval benchmarks are tiny (10^4-10^6 items) next to the
+# corpus, so their exploded gram table BROADCASTS; the corpus side
+# explodes per-doc distinct grams map-side and only MATCHED rows reach
+# the per-doc aggregation — no corpus-wide shuffle, no all-pairs
+# anything. The reference has no counterpart (this is the LLM-pipeline
+# operator family, SURVEY §6).
+# ---------------------------------------------------------------------------
+
+_T8_N = 5  # tokens per contamination shingle
+_T8_EVERY = 37  # every Nth doc contributes an eval item
+_T8_WIN = (4, 8)  # eval window: 8 tokens starting at token 4 (1-based)
+
+
+def _tok_ngrams(col: Column, n: int) -> Column:
+    """Distinct space-joined token n-grams of a token-array column.
+    greatest(1, ...) keeps Spark's sequence() ascending for short docs
+    (sequence(1, 0) would DESCEND); the resulting trailing short gram
+    is produced identically by the DuckDB twin (concat_ws skips the
+    NULL out-of-range elements in both engines)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(col) - (n - 1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(col, i + k) for k in range(n)]
+            ),
+        )
+    )
+
+
+def _tok_ngrams_sql(arr: str, n: int) -> str:
+    elems = ", ".join(f"{arr}[i + {k}]" for k in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(1, len({arr}) - {n - 1})), "
+        f"i -> concat_ws(' ', {elems})))"
+    )
+
+
+@query(
+    "t8_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS tk
+      FROM documents WHERE length(text) > 0
+    ),
+    eval_items AS (
+      SELECT doc_id AS eval_id,
+             tk[{_T8_WIN[0]}:{_T8_WIN[0] + _T8_WIN[1] - 1}] AS etk
+      FROM toks
+      WHERE doc_id % {_T8_EVERY} = 0 AND len(tk) >= {_T8_WIN[0] + _T8_WIN[1]}
+    ),
+    egrams AS (
+      SELECT eval_id, unnest({_tok_ngrams_sql("etk", _T8_N)}) AS g
+      FROM eval_items
+    ),
+    cgrams AS (
+      SELECT doc_id, unnest({_tok_ngrams_sql("tk", _T8_N)}) AS g
+      FROM toks
+    )
+    SELECT c.doc_id,
+           count(DISTINCT e.eval_id)::INT AS n_eval_items,
+           count(DISTINCT c.g)::INT AS n_shared_grams
+    FROM cgrams c JOIN egrams e USING (g)
+    GROUP BY c.doc_id
+    """,
+)
+def t8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated-document scan: (doc_id, #eval items hit, #distinct
+    shared 5-grams) for every corpus doc sharing a token 5-gram with
+    the synthetic eval set. Eval grams broadcast; corpus grams explode
+    map-side; only matches shuffle into the tiny per-doc aggregate."""
+    from .queries_ml import tokens
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", tokens(F.col("text")).alias("tk"))
+    )
+    ev = toks.filter(
+        (F.col("doc_id") % _T8_EVERY == 0)
+        & (F.size("tk") >= _T8_WIN[0] + _T8_WIN[1])
+    ).select(
+        F.col("doc_id").alias("eval_id"),
+        F.slice("tk", _T8_WIN[0], _T8_WIN[1]).alias("etk"),
+    )
+    egrams = ev.select(
+        "eval_id", F.explode(_tok_ngrams(F.col("etk"), _T8_N)).alias("g")
+    )
+    cgrams = toks.select(
+        "doc_id", F.explode(_tok_ngrams(F.col("tk"), _T8_N)).alias("g")
+    )
+    return (
+        cgrams.join(F.broadcast(egrams), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").cast("int").alias("n_eval_items"),
+            F.countDistinct("g").cast("int").alias("n_shared_grams"),
+        )
     )
