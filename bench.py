@@ -53,6 +53,8 @@ HEADLINE = [
     "m3_phash_image_near_dup",  # real-phash banded Hamming near-dup
     "t7_transitive_corpus_dedup",  # d8 components → one doc per cluster
     "v5_weekly_model_train_k6",  # k=6 Gaussian-elimination ridge
+    "t8_decontaminate",  # eval-overlap scan (broadcast eval grams)
+    "t9_repetition_filter",  # Gopher repetition fractions (one scan)
 ]
 
 # single-shot timing couldn't distinguish a regression from noise

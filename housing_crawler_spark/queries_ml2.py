@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .queries import load, query
+from .queries import load, query, r4
 from .queries_ml import (
     _3GRAMS_SQL,
     _cos_sql,
@@ -1563,3 +1563,148 @@ def t8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("g").cast("int").alias("n_shared_grams"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t9 — intra-document repetition filter (the Gopher / MassiveText
+# repetition criteria, Rae et al. 2021 Table A1): per doc, the fraction
+# of characters covered by (a) the single most repetitive word 2-gram,
+# (b) the most repetitive 3-gram, and (c) ALL duplicated 5-grams; docs
+# over any threshold are flagged for removal. Two deliberate,
+# documented deviations from the paper, both to keep the statistic
+# deterministic and engine-portable: "most common n-gram" is ranked by
+# covered characters count*len(gram) (count-ranking is tie-ambiguous
+# when equally-frequent grams differ in length), and overlapping
+# occurrences are counted per-occurrence rather than deduplicated by
+# character position.
+#
+# 100 TB shape: ONE pass — the three gram families are built per-row
+# as (n, gram) structs and exploded once (a single scan of the text
+# column, not one per n), then two keyed aggregations:
+# (doc_id, n, gram) counts → per-doc maxima/sums. Both shuffles are
+# keyed by doc_id(+gram), so volume is linear in corpus size and
+# skew is bounded by document length — no joins, no windows.
+# ---------------------------------------------------------------------------
+
+_T9_TOP2 = 0.20  # max frac of chars in the most repetitive 2-gram
+_T9_TOP3 = 0.18  # ... 3-gram
+_T9_DUP5 = 0.15  # max frac of chars in ALL duplicated 5-grams
+
+
+def _tok_ngrams_all(col: Column, n: int) -> Column:
+    """All (non-distinct) space-joined token n-grams — same
+    short-doc/trailing-gram semantics as _tok_ngrams."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(col) - (n - 1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(col, i + k) for k in range(n)]),
+    )
+
+
+def _tok_ngrams_all_sql(arr: str, n: int) -> str:
+    elems = ", ".join(f"{arr}[i + {k}]" for k in range(n))
+    return (
+        f"list_transform("
+        f"generate_series(1, greatest(1, len({arr}) - {n - 1})), "
+        f"i -> concat_ws(' ', {elems}))"
+    )
+
+
+def _t9_branch_sql(n: int) -> str:
+    return (
+        f"SELECT doc_id, n_chars, {n} AS n, "
+        f"unnest({_tok_ngrams_all_sql('tk', n)}) AS g FROM toks"
+    )
+
+
+@query(
+    "t9_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, length(text) AS n_chars, {_TOKENS_SQL} AS tk
+      FROM documents WHERE length(text) > 0
+    ),
+    grams AS (
+      {_t9_branch_sql(2)}
+      UNION ALL {_t9_branch_sql(3)}
+      UNION ALL {_t9_branch_sql(5)}
+    ),
+    cnt AS (
+      SELECT doc_id, n_chars, n, g, count(*) AS c
+      FROM grams GROUP BY ALL
+    ),
+    per AS (
+      SELECT doc_id, n_chars, n,
+             max(c * length(g)) AS top_chars,
+             coalesce(sum(CASE WHEN c > 1 THEN c * length(g) END), 0)
+               AS dup_chars
+      FROM cnt GROUP BY ALL
+    )
+    SELECT doc_id,
+           round(max(CASE WHEN n = 2 THEN top_chars END) / n_chars
+                 + 1e-9, 4) AS top2_frac,
+           round(max(CASE WHEN n = 3 THEN top_chars END) / n_chars
+                 + 1e-9, 4) AS top3_frac,
+           round(max(CASE WHEN n = 5 THEN dup_chars END) / n_chars
+                 + 1e-9, 4) AS dup5_frac,
+           (max(CASE WHEN n = 2 THEN top_chars END) / n_chars > {_T9_TOP2}
+            OR max(CASE WHEN n = 3 THEN top_chars END) / n_chars > {_T9_TOP3}
+            OR max(CASE WHEN n = 5 THEN dup_chars END) / n_chars > {_T9_DUP5}
+           )::INT AS flagged
+    FROM per GROUP BY doc_id, n_chars
+    """,
+)
+def t9_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher-style repetition fractions + removal flag.
+    Single text scan: 2/3/5-gram families tagged as (n, g) structs in
+    one flattened array, one explode, two keyed aggregations."""
+    from .queries_ml import tokens
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            tokens(F.col("text")).alias("tk"),
+        )
+    )
+
+    def tagged(n: int) -> Column:
+        return F.transform(
+            _tok_ngrams_all(F.col("tk"), n),
+            lambda g: F.struct(
+                F.lit(n).cast("int").alias("n"), g.alias("g")
+            ),
+        )
+
+    grams = toks.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.flatten(F.array(tagged(2), tagged(3), tagged(5)))).alias(
+            "ng"
+        ),
+    ).select("doc_id", "n_chars", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+
+    cnt = grams.groupBy("doc_id", "n_chars", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    covered = F.col("c") * F.length("g")
+    per = cnt.groupBy("doc_id", "n_chars", "n").agg(
+        F.max(covered).alias("top_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, covered)), F.lit(0)
+        ).alias("dup_chars"),
+    )
+    top2 = F.max(F.when(F.col("n") == 2, F.col("top_chars"))) / F.col("n_chars")
+    top3 = F.max(F.when(F.col("n") == 3, F.col("top_chars"))) / F.col("n_chars")
+    dup5 = F.max(F.when(F.col("n") == 5, F.col("dup_chars"))) / F.col("n_chars")
+    return per.groupBy("doc_id", "n_chars").agg(
+        r4(top2).alias("top2_frac"),
+        r4(top3).alias("top3_frac"),
+        r4(dup5).alias("dup5_frac"),
+        (
+            (top2 > _T9_TOP2) | (top3 > _T9_TOP3) | (dup5 > _T9_DUP5)
+        )
+        .cast("int")
+        .alias("flagged"),
+    ).drop("n_chars")
