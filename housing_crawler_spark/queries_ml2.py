@@ -1708,3 +1708,179 @@ def t9_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("flagged"),
     ).drop("n_chars")
+
+
+# ---------------------------------------------------------------------------
+# t10 — domain-mixture sampling (the Pile/ROOTS-style per-source
+# sampling rates a pre-training mix applies before tokenization).
+# Each source gets a deterministic keep-rate from its numeric suffix
+# (suffix % 4 → 1.0 / 0.5 / 0.25 / 0.1 — a stand-in for the curated
+# per-domain weights table, which at scale would be a broadcast dim);
+# a doc is kept iff its salted 60-bit md5 hash, scaled to [0,1),
+# falls under the rate. Reports per-source totals, kept counts, the
+# achieved rate, and a kept-id checksum.
+#
+# 100 TB shape: the keep decision is a stateless per-row expression —
+# zero shuffles before the 20-row per-source aggregate; resampling
+# with a different seed or rates table never reshuffles the corpus.
+# Hash-threshold sampling (vs rand()) is reproducible across retries,
+# engines, and partitionings — the property training-data lineage
+# audits require.
+# ---------------------------------------------------------------------------
+
+_T10_SEED = "mix1"
+_T10_SCALE = float(1 << 60)  # md5int is 60-bit
+_T10_RATES = (1.0, 0.5, 0.25, 0.1)  # indexed by numeric suffix % 4
+
+
+def _t10_rate_sql() -> str:
+    branches = " ".join(
+        f"WHEN {i} THEN {r}" for i, r in enumerate(_T10_RATES)
+    )
+    return (
+        "CASE coalesce(nullif(regexp_extract(source, '(\\d+)$', 1), '')::INT"
+        f", 0) % 4 {branches} END"
+    )
+
+
+@query(
+    "t10_domain_mixture",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {_t10_rate_sql()} AS rate,
+             {_md5int_sql(f"doc_id::VARCHAR || ':{_T10_SEED}'")} / {_T10_SCALE} AS u
+      FROM documents
+    )
+    SELECT source,
+           count(*)::INT AS n_total,
+           coalesce(sum(CASE WHEN u < rate THEN 1 END), 0)::INT AS n_kept,
+           round(coalesce(sum(CASE WHEN u < rate THEN 1 END), 0)
+                 / count(*) + 1e-9, 4) AS achieved_rate,
+           coalesce(sum(CASE WHEN u < rate THEN doc_id END), 0)::BIGINT
+             AS kept_checksum
+    FROM scored GROUP BY source
+    """,
+)
+def t10_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold mixture sampling over sources.
+    Keep iff md5-salted u(doc) < rate(source); per-source audit row."""
+    suffix = F.coalesce(
+        F.nullif(F.regexp_extract("source", r"(\d+)$", 1), F.lit("")).cast(
+            "int"
+        ),
+        F.lit(0),
+    )
+    ridx = suffix % 4
+    rate_col = F.lit(None).cast("double")
+    for i, r in reversed(list(enumerate(_T10_RATES))):
+        rate_col = F.when(ridx == i, F.lit(r)).otherwise(rate_col)
+    u = md5int(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":" + _T10_SEED))
+    ) / F.lit(_T10_SCALE)
+    kept = F.col("u") < F.col("rate")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", rate_col.alias("rate"), u.alias("u"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_total"),
+            F.coalesce(F.sum(F.when(kept, 1)), F.lit(0))
+            .cast("int")
+            .alias("n_kept"),
+            r4(
+                F.coalesce(F.sum(F.when(kept, 1)), F.lit(0))
+                / F.count(F.lit(1))
+            ).alias("achieved_rate"),
+            F.coalesce(F.sum(F.when(kept, F.col("doc_id"))), F.lit(0))
+            .cast("long")
+            .alias("kept_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t11 — training-sequence packing (concatenate-then-chunk): docs are
+# hashed into shards, laid end-to-end within each shard in doc_id
+# order, and each doc is attributed to the fixed-size token window
+# (seq_len=2048) its first token lands in. Per-(shard, pack) audit:
+# how many docs start in the pack and their token mass — the
+# statistic packing-efficiency dashboards plot.
+#
+# 100 TB shape: one shuffle into shards, then a running-sum window
+# WITHIN each shard — shards are independent, so parallelism is
+# min(#shards, cores) and skew is bounded by the hash. The window
+# never sees more than one shard; no global ordering is imposed.
+# ---------------------------------------------------------------------------
+
+_T11_SHARDS = 8
+_T11_SEQ = 2048
+
+
+@query(
+    "t11_sequence_packing",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             {_md5int_sql("doc_id::VARCHAR || ':shard'")} % {_T11_SHARDS}
+               AS shard,
+             len({_TOKENS_SQL})::BIGINT AS tok_cnt
+      FROM documents WHERE length(text) > 0
+    ),
+    placed AS (
+      SELECT shard, doc_id, tok_cnt,
+             coalesce(sum(tok_cnt) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS off
+      FROM sized
+    )
+    SELECT shard::INT AS shard,
+           floor(off / {_T11_SEQ})::BIGINT AS pack_id,
+           count(*)::INT AS n_docs,
+           sum(tok_cnt)::BIGINT AS pack_tokens,
+           min(doc_id)::BIGINT AS first_doc,
+           max(doc_id)::BIGINT AS last_doc
+    FROM placed GROUP BY 1, 2
+    """,
+)
+def t11_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-chunk sequence packing audit per (shard, pack)."""
+    from pyspark.sql.window import Window as W
+
+    from .queries_ml import tokens
+
+    sized = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            (
+                md5int(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))
+                )
+                % _T11_SHARDS
+            ).alias("shard"),
+            F.size(tokens(F.col("text"))).cast("long").alias("tok_cnt"),
+        )
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    placed = sized.withColumn(
+        "off", F.coalesce(F.sum("tok_cnt").over(w), F.lit(0))
+    )
+    return (
+        placed.groupBy(
+            F.col("shard").cast("int").alias("shard"),
+            F.floor(F.col("off") / _T11_SEQ).cast("long").alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("tok_cnt").cast("long").alias("pack_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )
