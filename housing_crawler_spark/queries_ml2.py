@@ -1884,3 +1884,84 @@ def t11_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d9 — cross-document duplicated-substring audit (the ExactSubstr
+# signal of Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better", at span granularity): for every doc in the
+# planted-duplicate corpus, the fraction of its distinct 10-token
+# spans that also occur in ANY other doc. Exact copies read 1.0;
+# template near-dups read their true shared-span mass; clean docs 0.
+#
+# 100 TB shape: spans are hashed to int64 BEFORE any shuffle (10×
+# cheaper exchanges than string grams), then three linear keyed
+# stages: per-span doc counts, an equi-join of only the duplicated
+# span hashes back onto the (doc, span) pairs, and a per-doc count —
+# no all-pairs, nothing broadcast-sized-dependent. A 60-bit hash
+# collision would count a unique span as duplicated IDENTICALLY in
+# both engines (the oracle hashes too): parity is exact, the
+# statistic is collision-approximate at ~2^-60.
+# ---------------------------------------------------------------------------
+
+_D9_N = 10  # tokens per span
+
+
+@query(
+    "d9_substring_dup_audit",
+    oracle=f"""
+    WITH corpus AS ({_DUPED_SQL}),
+    toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS tk FROM corpus WHERE length(text) > 0
+    ),
+    spans AS (
+      SELECT doc_id, {_md5int_sql("unnest(" + _tok_ngrams_sql("tk", _D9_N) + ")")} AS gh
+      FROM toks
+    ),
+    dup AS (
+      SELECT gh FROM spans GROUP BY gh HAVING count(*) > 1
+    ),
+    per AS (
+      SELECT s.doc_id, count(*) AS n_dup
+      FROM spans s JOIN dup USING (gh) GROUP BY s.doc_id
+    )
+    SELECT t.doc_id,
+           len({_tok_ngrams_sql("tk", _D9_N)})::INT AS n_spans,
+           coalesce(p.n_dup, 0)::INT AS n_dup_spans,
+           round(coalesce(p.n_dup, 0)
+                 / len({_tok_ngrams_sql("tk", _D9_N)}) + 1e-9, 4) AS dup_frac
+    FROM toks t LEFT JOIN per p USING (doc_id)
+    """,
+)
+def d9_substring_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated 10-token-span fraction across the corpus."""
+    from .queries_ml import tokens
+
+    toks = (
+        _duped(spark, sf_dir)
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            _tok_ngrams(tokens(F.col("text")), _D9_N).alias("garr"),
+        )
+    )
+    spans = toks.select(
+        "doc_id", F.explode("garr").alias("g")
+    ).select("doc_id", md5int(F.col("g")).alias("gh"))
+    dup = (
+        spans.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("gh")
+    )
+    per = spans.join(dup, "gh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    base = toks.select("doc_id", F.size("garr").alias("n_spans"))
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_spans").cast("int").alias("n_spans"),
+        n_dup.cast("int").alias("n_dup_spans"),
+        r4(n_dup / F.col("n_spans")).alias("dup_frac"),
+    )
