@@ -55,6 +55,7 @@ HEADLINE = [
     "v5_weekly_model_train_k6",  # k=6 Gaussian-elimination ridge
     "t8_decontaminate",  # eval-overlap scan (broadcast eval grams)
     "t9_repetition_filter",  # Gopher repetition fractions (one scan)
+    "d9_substring_dup_audit",  # ExactSubstr span audit (int64 spans)
 ]
 
 # single-shot timing couldn't distinguish a regression from noise

@@ -1934,20 +1934,33 @@ _D9_N = 10  # tokens per span
     """,
 )
 def d9_substring_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc duplicated 10-token-span fraction across the corpus."""
+    """Per-doc duplicated 10-token-span fraction across the corpus.
+
+    The hashed-span table is cached ONCE and every downstream branch
+    (per-doc span counts, duplicated-hash set, per-doc dup counts)
+    derives from it — the span build (tokenize → 10-token concat_ws →
+    md5) is the expensive expression, and a DataFrame feeding multiple
+    join branches re-evaluates its whole tree per branch (the d7
+    lesson: 188 s → 4 s). n_spans comes from the cached table too
+    (spans are per-doc distinct, so count == len(garr)), not from a
+    second gram build."""
     from .queries_ml import tokens
 
-    toks = (
+    spans = (
         _duped(spark, sf_dir)
         .filter(F.length("text") > 0)
         .select(
             "doc_id",
-            _tok_ngrams(tokens(F.col("text")), _D9_N).alias("garr"),
+            F.explode(
+                _tok_ngrams(tokens(F.col("text")), _D9_N)
+            ).alias("g"),
         )
+        .select("doc_id", md5int(F.col("g")).alias("gh"))
+        .cache()
     )
-    spans = toks.select(
-        "doc_id", F.explode("garr").alias("g")
-    ).select("doc_id", md5int(F.col("g")).alias("gh"))
+    base = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
     dup = (
         spans.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1957,7 +1970,6 @@ def d9_substring_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = spans.join(dup, "gh").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup")
     )
-    base = toks.select("doc_id", F.size("garr").alias("n_spans"))
     n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
     return base.join(per, "doc_id", "left").select(
         "doc_id",
