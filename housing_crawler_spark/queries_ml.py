@@ -369,7 +369,11 @@ def d2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: 2 bands × 2 rows; banded equi-joins
-    (shuffle on band key only — never the O(n²) cross join)."""
+    (shuffle on band key only — never the O(n²) cross join). NOTE:
+    pair ENUMERATION is quadratic in bucket size by definition (4.7M
+    pairs from 5.5k docs at sf0.1 on this template-heavy corpus) —
+    this query is the measure; the linear star-link pipeline (d7/s3)
+    is the production path."""
     gh = F.col("__gh")
     sigs = (
         _duped(spark, sf_dir)
@@ -379,6 +383,11 @@ def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             *[_minhash_col(gh, k).alias(f"mh_{k}") for k in range(_N_MINHASH)],
         )
+        # the signature build (md5 per distinct gram + xor-mix min-reduce)
+        # feeds FOUR join branches (both sides of both bands) — cache it
+        # once or it re-evaluates per branch (the d7/d9 lesson; 90s → 3s
+        # at sf0.1)
+        .cache()
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     p1 = a.join(
