@@ -130,7 +130,10 @@ def v2_weekly_model_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's row-wise model.predict lambda,
     ads_table_processing.py:97-102, as a native expression).
     Predictions for week w only ever see models fit on weeks < w."""
-    ads = _tagged_ads(spark, sf_dir)
+    # the raw-ads build (wide hash-derived projection) feeds BOTH the
+    # train branch and the apply join — cache it once or it
+    # re-evaluates per branch (the d7/d9/d3 lesson)
+    ads = _tagged_ads(spark, sf_dir).cache()
     models = train_weekly_models(ads)
     out = apply_weekly_models(ads, models)
     return out.select(
@@ -371,7 +374,8 @@ def j7_significant_coefs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v4_weekly_model_apply_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply each ad's OWN week's k-feature ridge (broadcast
     coefficient join): ŷ = exp(b0 + Σ bi·xi), walk-forward safe."""
-    ads = tag_ads_multi(_raw_ads_df(spark, sf_dir))
+    # same two-branch shape as v2: cache the raw-ads build once
+    ads = tag_ads_multi(_raw_ads_df(spark, sf_dir)).cache()
     models = train_weekly_models_multi(ads)
     out = apply_weekly_models_multi(ads, models)
     return out.select(
