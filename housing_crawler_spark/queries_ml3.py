@@ -1,0 +1,566 @@
+"""Round-5 additions to the LLM-data-pipeline family: data-selection /
+quality-scoring operators from the published curation literature, a
+point-in-time (as-of) join, and the LAION-style image-caption curation
+funnel over the opaque image column.
+
+All four are oracle-verified (dual Spark + DuckDB text) and follow the
+package's scale rules: pure JVM expressions (Python only in the m9
+image-table Arrow stage, which is materialized before the returned
+plan), equi-joins/windows keyed by data keys, integer-scaled floats
+wherever a sum's order could drift between engines.
+
+Citations (public papers — the reference repo has no counterpart for
+these; they are the "beyond the reference" training-data operators the
+build brief asks for):
+  - t12: Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling" (DSIR) — hashed n-gram bucket counts,
+    log importance ratio target/raw.
+  - t13: Wenzek et al. 2020, "CCNet" — per-document LM cross-entropy
+    scoring with head/middle/tail buckets (unigram add-one LM here;
+    CCNet uses a 5-gram KenLM, same pipeline shape).
+  - m9: Schuhmann et al. 2021, "LAION-400M" — metadata/caption filters
+    + exact-hash image dedup keeping the best-resolution copy.
+  - j9: the classic point-in-time join (ASOF JOIN in DuckDB/kdb); the
+    Spark-side shape is the union + cumulative-window trick, one
+    shuffle keyed by the join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .matpaths import mat_path
+from .queries import load, query
+from .queries_ml import _TOKENS_SQL, md5int, tokens
+from .queries_ml2 import _tok_ngrams_all, _tok_ngrams_all_sql
+
+# ---------------------------------------------------------------------------
+# t12 — DSIR importance-resampling selection (Xie et al. 2023): hashed
+# unigram+bigram counts into B buckets; per-bucket log importance ratio
+# ln(p_target) - ln(p_raw) with add-one smoothing; per-doc weight =
+# Σ_grams count · log-ratio. Docs scoring > 0 look more target-like
+# than raw-like and are selected.
+#
+# 100 TB shape: ONE text scan (uni+bi grams exploded together), two
+# keyed aggregations ((doc_id, bucket) then bucket), the B-row
+# log-ratio table broadcast back against the per-doc bucket counts,
+# one final groupBy(doc_id). No cross joins, no windows over data-sized
+# frames (the only window is over the B=1024-row bucket table).
+# Log-ratios are integer-scaled (×1e6, epsilon-rounded) so the per-doc
+# sum is an exact integer in both engines regardless of addition order.
+# ---------------------------------------------------------------------------
+
+_T12_B = 1024  # hash buckets (DSIR uses 10k for full CC; 1024 keeps the
+# bucket table trivially broadcastable and is plenty at test sf)
+_T12_TARGET_SQL = "lang = 'en'"  # the "target domain" proxy
+
+
+def _t12_lr_sql(tc: str, rc: str, tn: str, rn: str) -> str:
+    """The log-importance-ratio expression — ONE string used verbatim
+    by both engines so the doubles are bit-identical (same parse tree
+    → same IEEE ops; ln's last-ulp risk is absorbed by the ×1e6
+    integer scaling's 1e-9 epsilon)."""
+    return (
+        f"CAST(round((ln(({tc} + 1.0) / ({tn} + {_T12_B}.0)) "
+        f"- ln(({rc} + 1.0) / ({rn} + {_T12_B}.0))) * 1000000.0 + 1e-9, 0) "
+        f"AS BIGINT)"
+    )
+
+
+@query(
+    "t12_dsir_selection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKENS_SQL} AS tk
+      FROM documents WHERE length(text) > 0
+    ),
+    grams AS (
+      SELECT doc_id, lang, unnest(tk) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, lang, unnest({_tok_ngrams_all_sql("tk", 2)}) AS g
+      FROM toks
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % {_T12_B} AS b,
+             count(*)::BIGINT AS cnt
+      FROM grams GROUP BY ALL
+    ),
+    buckets AS (
+      SELECT b, sum(cnt)::BIGINT AS rc,
+             sum(CASE WHEN {_T12_TARGET_SQL} THEN cnt ELSE 0 END)::BIGINT AS tc
+      FROM bg GROUP BY b
+    ),
+    lr AS (
+      SELECT b, {_t12_lr_sql("tc", "rc", "sum(tc) OVER ()", "sum(rc) OVER ()")}
+               AS lr_x1e6
+      FROM buckets
+    )
+    SELECT doc_id,
+           sum(cnt)::BIGINT AS n_feats,
+           round(sum(cnt * lr_x1e6) / 1000000.0 + 1e-9, 4) AS weight,
+           (sum(cnt * lr_x1e6) > 0)::INT AS selected
+    FROM bg JOIN lr USING (b)
+    GROUP BY doc_id
+    """,
+)
+def t12_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: per-doc hashed-ngram importance weight vs
+    the lang='en' target domain + selected flag (weight > 0)."""
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        # the documents parquet is 1-2 input splits — without this the
+        # whole tokenize+hash pipeline runs on 1 of 32 cores
+        .repartition(shuffle, "doc_id")
+        .select("doc_id", "lang", tokens(F.col("text")).alias("tk"))
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(F.col("tk"), _tok_ngrams_all(F.col("tk"), 2))
+        ).alias("g"),
+    )
+    # bg feeds TWO branches (the bucket totals and the final join) —
+    # cache it or the gram explode+hash re-runs per branch (the
+    # fan-out-recompute trap, round-5 verify gotcha)
+    bg = (
+        grams.withColumn("b", md5int(F.col("g")) % _T12_B)
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("cnt"))
+        .cache()
+    )
+    tot = Window.partitionBy(F.lit(1))  # B-row frame, not data-sized
+    buckets = bg.groupBy("b").agg(
+        F.sum("cnt").alias("rc"),
+        F.sum(
+            F.when(F.expr(_T12_TARGET_SQL), F.col("cnt")).otherwise(F.lit(0))
+        ).alias("tc"),
+    )
+    # window totals materialized as columns first so the ln()
+    # expression string stays IDENTICAL to the oracle's
+    buckets2 = buckets.select(
+        "b",
+        "tc",
+        "rc",
+        F.sum("tc").over(tot).alias("tn"),
+        F.sum("rc").over(tot).alias("rn"),
+    )
+    lr = buckets2.select(
+        "b", F.expr(_t12_lr_sql("tc", "rc", "tn", "rn")).alias("lr_x1e6")
+    )
+    return (
+        bg.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("lr_x1e6")) / 1000000.0
+                + F.lit(1e-9),
+                4,
+            ).alias("weight"),
+            (F.sum(F.col("cnt") * F.col("lr_x1e6")) > 0)
+            .cast("int")
+            .alias("selected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t13 — CCNet-style LM quality scoring: add-one unigram LM trained on
+# the "curated" sources, every doc scored by per-token cross-entropy,
+# bucketed head/middle/tail. The vocab table carries a row for EVERY
+# corpus token (target count 0 for OOV), so scoring is a single
+# equi-join on token — no scalar cross joins, no OOV special path.
+#
+# 100 TB shape: one text scan → (doc_id, tok) counts; the vocab/logprob
+# table is built from the same scan's target subset and joined back by
+# token (an equi-join keyed by token; Catalyst broadcasts it while it
+# fits, shuffles it when it doesn't). Log-probs integer-scaled ×1e6 so
+# per-doc sums are exact integers.
+# ---------------------------------------------------------------------------
+
+_T13_TARGET_SQL = "source IN ('src0', 'src1', 'src2')"
+_T13_HEAD = 3.40  # xent bucket cuts (fixed constants, not percentiles,
+_T13_MID = 3.42  # so the statistic is deterministic and engine-portable;
+# CCNet cuts at per-language perplexity terciles instead)
+
+# add-one unigram log-prob, integer-scaled; c = target count of the
+# token, n = total target tokens, v = target vocab size. One string,
+# both engines (see _t12_lr_sql).
+_T13_LP_SQL = (
+    "CAST(round(ln((c + 1.0) / (n + v + 1.0)) * 1000000.0 + 1e-9, 0) "
+    "AS BIGINT)"
+)
+
+
+@query(
+    "t13_lm_quality_score",
+    oracle=f"""
+    WITH tokc AS (
+      SELECT doc_id, source, unnest({_TOKENS_SQL}) AS tok
+      FROM documents WHERE length(text) > 0
+    ),
+    dt AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS cnt FROM tokc GROUP BY ALL
+    ),
+    tgt AS (
+      SELECT tok, count(*)::BIGINT AS c FROM tokc
+      WHERE {_T13_TARGET_SQL} GROUP BY tok
+    ),
+    vocab AS (
+      SELECT t.tok, coalesce(g.c, 0)::BIGINT AS c
+      FROM (SELECT DISTINCT tok FROM tokc) t LEFT JOIN tgt g USING (tok)
+    ),
+    lp AS (
+      SELECT tok, {_T13_LP_SQL} AS lp_x1e6
+      FROM (
+        SELECT tok, c,
+               sum(c) OVER () AS n,
+               sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) OVER () AS v
+        FROM vocab
+      )
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             sum(d.cnt)::BIGINT AS n_tokens,
+             round((-(sum(d.cnt * lp.lp_x1e6)) / 1000000.0) / sum(d.cnt)
+                   + 1e-9, 4) AS xent
+      FROM dt d JOIN lp USING (tok)
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_tokens, xent,
+           CASE WHEN xent < {_T13_HEAD} THEN 'head'
+                WHEN xent < {_T13_MID} THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored
+    """,
+)
+def t13_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram-LM cross-entropy vs the curated-source LM +
+    head/middle/tail quality bucket (the CCNet pipeline shape)."""
+    # tokc feeds THREE branches (doc counts, target counts, vocab) —
+    # cache it or the tokenize+explode re-runs per branch
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tokc = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(shuffle, "doc_id")  # 1-2 splits otherwise, see t12
+        .select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .cache()
+    )
+    dt = tokc.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    tgt = (
+        tokc.filter(F.expr(_T13_TARGET_SQL))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = (
+        tokc.select("tok")
+        .distinct()
+        .join(tgt, "tok", "left")
+        .select("tok", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    tot = Window.partitionBy(F.lit(1))  # |vocab|-row frame
+    lp = vocab.select(
+        "tok",
+        "c",
+        F.sum("c").over(tot).alias("n"),
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).over(tot).alias("v"),
+    ).select("tok", F.expr(_T13_LP_SQL).alias("lp_x1e6"))
+    scored = (
+        dt.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.expr(
+                "round((-(sum(cnt * lp_x1e6)) / 1000000.0) / sum(cnt)"
+                " + 1e-9, 4)"
+            ).alias("xent"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "xent",
+        F.when(F.col("xent") < _T13_HEAD, "head")
+        .when(F.col("xent") < _T13_MID, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j9 — point-in-time (as-of) join: every click event matched to the
+# most recent error event of the same user at-or-before its timestamp.
+# DuckDB expresses this natively (ASOF LEFT JOIN); the Spark-side scale
+# shape is the tagged union + cumulative window: ONE shuffle keyed by
+# user_id, last(ignorenulls) over rows-unbounded-preceding. Right rows
+# are pre-deduped to one per (user_id, ts) so the as-of winner is
+# well-defined in both engines; right rows sort before left rows at
+# equal ts, making the match inclusive (ts >= err_ts).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j9_asof_join",
+    oracle="""
+    WITH err AS (
+      SELECT user_id, ts,
+             max(event_id) AS prior_error_id,
+             max_by(value, event_id) AS err_value
+      FROM events WHERE event_type = 'error'
+      GROUP BY user_id, ts
+    ),
+    clk AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           round(c.value + 1e-9, 4) AS click_value,
+           e.prior_error_id,
+           round(e.err_value + 1e-9, 4) AS prior_error_value,
+           epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+    FROM clk c ASOF LEFT JOIN err e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join clicks→latest prior error per user (union + window,
+    one shuffle on user_id — never a range join or per-key collect)."""
+    ev = load(spark, sf_dir, "events")
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("err_id"),
+            F.expr("max_by(value, event_id)").alias("err_value"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_left"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            "err_id",
+            "err_value",
+            F.col("ts").alias("err_ts"),
+        )
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_left"),
+        "event_id",
+        "value",
+        F.lit(None).cast("long").alias("err_id"),
+        F.lit(None).cast("double").alias("err_value"),
+        F.lit(None).cast("timestamp").alias("err_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = err.unionByName(clk).select(
+        "*",
+        F.last("err_id", ignorenulls=True).over(w).alias("prior_error_id"),
+        F.last("err_value", ignorenulls=True).over(w).alias("prior_value"),
+        F.last("err_ts", ignorenulls=True).over(w).alias("prior_ts"),
+    )
+    return u.filter(F.col("is_left") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.round(F.col("value") + F.lit(1e-9), 4).alias("click_value"),
+        "prior_error_id",
+        F.round(F.col("prior_value") + F.lit(1e-9), 4).alias(
+            "prior_error_value"
+        ),
+        (
+            # events.ts is TIMESTAMP_NTZ; session tz is pinned UTC so
+            # the cast is exactly DuckDB's epoch_us on the naive value
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("prior_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# w7 — islands-and-gaps: per (user, event_type), maximal runs of
+# consecutive ACTIVE DAYS (≥1 event). The classic gaps-and-islands
+# window shape the registry otherwise lacks: date minus dense row
+# number is constant within a run, so one window + two keyed
+# aggregations find every streak — no self-joins, no iteration.
+# Partition sizes are bounded by a user's distinct active days.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w7_event_streaks",
+    oracle="""
+    WITH pe AS (
+      SELECT DISTINCT user_id, event_type, ts::DATE AS d FROM events
+    ),
+    g AS (
+      SELECT user_id, event_type, d,
+             d - CAST(row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY d) AS INT) AS grp
+      FROM pe
+    ),
+    st AS (
+      SELECT user_id, event_type, grp, count(*) AS len
+      FROM g GROUP BY ALL
+    )
+    SELECT user_id, event_type,
+           sum(len)::BIGINT AS n_active_days,
+           count(*)::BIGINT AS n_streaks,
+           max(len)::BIGINT AS longest_streak
+    FROM st GROUP BY user_id, event_type
+    """,
+)
+def w7_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day streaks per (user, event_type): count,
+    total active days, and longest run."""
+    pe = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("d")
+    g = pe.select(
+        "user_id",
+        "event_type",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    st = g.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").alias("len")
+    )
+    return st.groupBy("user_id", "event_type").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m9 — LAION-style image-caption curation funnel over the opaque image
+# column: metadata filters (min edge, aspect ratio, caption length),
+# then exact-phash dedup keeping the best-resolution copy. The image
+# table's metadata is materialized once (matpaths contract, like
+# m1/m3); duplicate topology is controlled by planting half-resolution
+# "re-posts" of every 5th image (the re-hosted-thumbnail case LAION
+# dedups), exactly like _duped plants text dups for d1-d7.
+#
+# 100 TB shape: pure JVM after the Arrow gen stage — one scan of the
+# metadata table, one window keyed by phash (partition sizes bounded by
+# duplicate-cluster size), no joins at all: the dedup verdict is folded
+# into the same window by ranking filter-passing rows first, so
+# survivor ranks are contiguous and rn>1 ⇔ a better surviving copy
+# exists.
+# ---------------------------------------------------------------------------
+
+_M9_MAT = mat_path("m9_imgmeta")
+_M9_MIN_EDGE = 32
+_M9_ASPECT = 3  # max(w,h) > 3*min(w,h) → bad aspect
+_M9_CAP_MIN = 15  # caption chars
+
+
+def _m9_funnel_sql() -> str:
+    return f"""
+    WITH base AS (
+      SELECT image_id, w, h, fmt, caption, phash
+      FROM read_parquet('{_M9_MAT}/*.parquet')
+      UNION ALL
+      SELECT image_id || '-re' AS image_id, w // 2 AS w, h // 2 AS h,
+             fmt, caption, phash
+      FROM read_parquet('{_M9_MAT}/*.parquet')
+      WHERE phash % 5 = 0
+    ),
+    flagged AS (
+      SELECT *,
+             (w < {_M9_MIN_EDGE} OR h < {_M9_MIN_EDGE}) AS small,
+             (greatest(w, h) > {_M9_ASPECT} * least(w, h)) AS aspect,
+             (length(caption) < {_M9_CAP_MIN}) AS capshort
+      FROM base
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY phash
+               ORDER BY (NOT (small OR aspect OR capshort)) DESC,
+                        w * h DESC, image_id
+             ) AS rn
+      FROM flagged
+    )
+    SELECT image_id, w, h, fmt,
+           CASE WHEN small THEN 'too_small'
+                WHEN aspect THEN 'bad_aspect'
+                WHEN capshort THEN 'caption_short'
+                WHEN rn > 1 THEN 'dup_lower_res'
+           END AS reason
+    FROM ranked
+    """
+
+
+@query(
+    "m9_image_curation",
+    oracle=f"""
+    SELECT image_id, w, h, fmt, reason,
+           (reason IS NULL)::INT AS kept
+    FROM ({_m9_funnel_sql()})
+    """,
+)
+def m9_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style curation verdict per image: first failing rule
+    (too_small / bad_aspect / caption_short / dup_lower_res) or kept."""
+    from .queries_multimodal import _image_table
+
+    meta = _image_table(spark, sf_dir).select(
+        "image_id", "w", "h", "fmt", "caption", "phash"
+    )
+    meta.write.mode("overwrite").parquet(_M9_MAT)
+    mat = spark.read.parquet(_M9_MAT)
+    planted = mat.filter(F.col("phash") % 5 == 0).select(
+        F.concat(F.col("image_id"), F.lit("-re")).alias("image_id"),
+        F.expr("w div 2").alias("w"),
+        F.expr("h div 2").alias("h"),
+        "fmt",
+        "caption",
+        "phash",
+    )
+    base = mat.unionByName(planted)
+    flagged = base.select(
+        "*",
+        ((F.col("w") < _M9_MIN_EDGE) | (F.col("h") < _M9_MIN_EDGE)).alias(
+            "small"
+        ),
+        (
+            F.greatest("w", "h") > _M9_ASPECT * F.least("w", "h")
+        ).alias("aspect"),
+        (F.length("caption") < _M9_CAP_MIN).alias("capshort"),
+    )
+    passes = ~(F.col("small") | F.col("aspect") | F.col("capshort"))
+    w = Window.partitionBy("phash").orderBy(
+        passes.desc(), (F.col("w") * F.col("h")).desc(), F.col("image_id")
+    )
+    ranked = flagged.select("*", F.row_number().over(w).alias("rn"))
+    reason = (
+        F.when(F.col("small"), "too_small")
+        .when(F.col("aspect"), "bad_aspect")
+        .when(F.col("capshort"), "caption_short")
+        .when(F.col("rn") > 1, "dup_lower_res")
+    )
+    return ranked.select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        reason.alias("reason"),
+        reason.isNull().cast("int").alias("kept"),
+    )
