@@ -56,10 +56,13 @@ HEADLINE = [
     "t8_decontaminate",  # eval-overlap scan (broadcast eval grams)
     "t9_repetition_filter",  # Gopher repetition fractions (one scan)
     "d9_substring_dup_audit",  # ExactSubstr span audit (int64 spans)
-    # round 5 (late): DSIR selection, as-of join, LAION curation funnel
+    # round 5 (late): DSIR selection, as-of join, LAION curation funnel,
+    # Gopher quality battery, exposure filter
     "t12_dsir_selection",
     "j9_asof_join",
     "m9_image_curation",
+    "t14_gopher_quality_rules",
+    "m10_image_exposure_filter",
 ]
 
 # single-shot timing couldn't distinguish a regression from noise

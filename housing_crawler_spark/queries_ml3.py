@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .matpaths import mat_path
-from .queries import load, query
+from .queries import load, query, r4
 from .queries_ml import _TOKENS_SQL, md5int, tokens
 from .queries_ml2 import _tok_ngrams_all, _tok_ngrams_all_sql
 
@@ -392,6 +392,131 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t14 — the full Gopher quality-rule battery (Rae et al. 2021 Table
+# A1, complementing t9's repetition rules): word-count bounds, mean
+# word length bounds, bullet-line / ellipsis-line fractions, and the
+# stopword-presence check. The synthetic corpus is single-line word
+# soup, so (like d7's planted near-dups) three degenerate families are
+# planted identically in both engines to give every rule real work:
+# bullet-list docs, ellipsis-line docs, and long-junk-word docs.
+# Thresholds adapted to the corpus (documented deviations from the
+# paper's 50..100k word window); rule flags compare the ROUNDED
+# fractions so both engines branch on identical values.
+#
+# 100 TB shape: one scan, pure JVM string/array expressions per row,
+# zero joins, zero shuffles before any downstream consumer.
+# ---------------------------------------------------------------------------
+
+_T14_STOPS = ("the", "a", "of", "to")
+
+
+def _t14_planted_sql() -> str:
+    return """
+      SELECT doc_id, text FROM documents WHERE length(text) > 0
+      UNION ALL
+      SELECT doc_id + 3000000, repeat('- item' || chr(10), 20)
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 4000000, repeat('waiting for more...' || chr(10), 10)
+      FROM documents WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT doc_id + 5000000, repeat('zzzzzzzzzzzz ', 30)
+      FROM documents WHERE doc_id % 17 = 0
+    """
+
+
+_T14_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in _T14_STOPS) + "]"
+
+
+@query(
+    "t14_gopher_quality_rules",
+    oracle=f"""
+    WITH corpus AS ({_t14_planted_sql()}),
+    m AS (
+      SELECT doc_id,
+             len({_TOKENS_SQL}) AS n_words,
+             round((length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                   / len({_TOKENS_SQL})) + 1e-9, 4) AS mean_word_len,
+             round((len(list_filter(string_split(text, chr(10)),
+                                    l -> starts_with(l, '- ')))::DOUBLE
+                   / len(string_split(text, chr(10)))) + 1e-9, 4)
+               AS frac_bullet,
+             round((len(list_filter(string_split(text, chr(10)),
+                                    l -> ends_with(l, '...')))::DOUBLE
+                   / len(string_split(text, chr(10)))) + 1e-9, 4)
+               AS frac_ellipsis,
+             len(list_intersect(list_distinct({_TOKENS_SQL}),
+                                {_T14_STOPS_SQL}))::INT AS n_stop
+      FROM corpus
+    )
+    SELECT *,
+           (n_words >= 10 AND n_words <= 10000
+            AND mean_word_len >= 2 AND mean_word_len <= 10
+            AND frac_bullet <= 0.9 AND frac_ellipsis <= 0.3
+            AND n_stop >= 2)::INT AS kept
+    FROM m
+    """,
+)
+def t14_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules per doc: word-count / word-length
+    bounds, bullet & ellipsis line fractions, stopword check, keep
+    flag. Planted degenerate docs exercise every rule."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.length("text") > 0).select("doc_id", "text")
+    p1 = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.repeat(F.lit("- item\n"), 20).alias("text"),
+    )
+    p2 = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.repeat(F.lit("waiting for more...\n"), 10).alias("text"),
+    )
+    p3 = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.repeat(F.lit("zzzzzzzzzzzz "), 30).alias("text"),
+    )
+    corpus = base.unionByName(p1).unionByName(p2).unionByName(p3)
+    tk = tokens(F.col("text"))
+    lines = F.split("text", "\n")
+    m = corpus.select(
+        "doc_id",
+        F.size(tk).alias("n_words"),
+        r4(
+            F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
+            / F.size(tk)
+        ).alias("mean_word_len"),
+        r4(
+            F.size(F.filter(lines, lambda l: l.startswith("- "))).cast(
+                "double"
+            )
+            / F.size(lines)
+        ).alias("frac_bullet"),
+        r4(
+            F.size(F.filter(lines, lambda l: l.endswith("..."))).cast(
+                "double"
+            )
+            / F.size(lines)
+        ).alias("frac_ellipsis"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(tk),
+                F.array(*[F.lit(s) for s in _T14_STOPS]),
+            )
+        ).alias("n_stop"),
+    )
+    kept = (
+        (F.col("n_words") >= 10)
+        & (F.col("n_words") <= 10000)
+        & (F.col("mean_word_len") >= 2)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("frac_bullet") <= 0.9)
+        & (F.col("frac_ellipsis") <= 0.3)
+        & (F.col("n_stop") >= 2)
+    )
+    return m.select("*", kept.cast("int").alias("kept"))
+
+
+# ---------------------------------------------------------------------------
 # w7 — islands-and-gaps: per (user, event_type), maximal runs of
 # consecutive ACTIVE DAYS (≥1 event). The classic gaps-and-islands
 # window shape the registry otherwise lacks: date minus dense row
@@ -561,6 +686,102 @@ def m9_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         "h",
         "fmt",
+        reason.alias("reason"),
+        reason.isNull().cast("int").alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m10 — image exposure/contrast quality filter over the opaque image
+# column: decode every payload (real numpy codecs in an Arrow stage),
+# apply a deterministic exposure jitter keyed on phash (the synthetic
+# corpus is uniformly well-exposed, so — like the planted dups — the
+# jitter controls the degenerate-case topology: dark / blown-out /
+# flat-contrast variants), then measure per-image mean brightness and
+# pixel std and materialize them integer-scaled (matpaths contract).
+# The under/over-exposure + low-contrast verdict funnel runs in BOTH
+# engines over the mat table; only the decode+stats numpy kernel stays
+# outside the oracle (decode itself is pinned bit-exact by m1/parity).
+#
+# 100 TB shape: the Arrow stage is embarrassingly parallel after the
+# repartition inside _image_table; the verdict is a per-row projection
+# over the mat scan — no joins, no windows, no shuffles.
+# ---------------------------------------------------------------------------
+
+_M10_MAT = mat_path("m10_exposure")
+_M10_UNDER = 4000  # mean_x100 < 40.00 → under-exposed
+_M10_OVER = 21500  # mean_x100 > 215.00 → over-exposed
+_M10_FLAT = 1000  # std_x100  < 10.00 → low contrast
+
+
+@query(
+    "m10_image_exposure_filter",
+    oracle=f"""
+    SELECT image_id, fmt, adj, mean_x100, std_x100, reason,
+           (reason IS NULL)::INT AS kept
+    FROM (
+      SELECT *,
+             CASE WHEN mean_x100 < {_M10_UNDER} THEN 'under_exposed'
+                  WHEN mean_x100 > {_M10_OVER} THEN 'over_exposed'
+                  WHEN std_x100 < {_M10_FLAT} THEN 'low_contrast'
+             END AS reason
+      FROM read_parquet('{_M10_MAT}/*.parquet')
+    )
+    """,
+)
+def m10_image_exposure_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure/contrast verdict per image: decode, deterministic
+    phash-keyed exposure jitter, mean/std stats, then the
+    under/over/flat funnel in both engines over the mat table."""
+    from .queries_multimodal import _image_table
+
+    imgs = _image_table(spark, sf_dir)
+
+    def stats_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from .operators.images import decode
+
+        for pdf in it:
+            out = {"image_id": [], "fmt": [], "adj": [], "mean_x100": [], "std_x100": []}
+            for iid, buf, fmt, ph in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["phash"]
+            ):
+                img, _ = decode(bytes(buf))
+                case = int(ph) % 5  # python %: non-negative
+                a, b, adj = {
+                    0: (0.2, 0.0, "dark"),
+                    1: (0.3, 200.0, "bright"),
+                    2: (0.05, 120.0, "flat"),
+                }.get(case, (1.0, 0.0, "none"))
+                x = np.clip(
+                    np.rint(a * img.astype(np.float64) + b), 0, 255
+                ).astype(np.uint8)
+                out["image_id"].append(iid)
+                out["fmt"].append(fmt)
+                out["adj"].append(adj)
+                out["mean_x100"].append(int(round(float(x.mean()) * 100)))
+                out["std_x100"].append(int(round(float(x.std()) * 100)))
+            yield pd.DataFrame(out)
+
+    stats = imgs.mapInPandas(
+        stats_batches,
+        "image_id string, fmt string, adj string, mean_x100 long, std_x100 long",
+    )
+    stats.write.mode("overwrite").parquet(_M10_MAT)
+    mat = spark.read.parquet(_M10_MAT)
+    reason = (
+        F.when(F.col("mean_x100") < _M10_UNDER, "under_exposed")
+        .when(F.col("mean_x100") > _M10_OVER, "over_exposed")
+        .when(F.col("std_x100") < _M10_FLAT, "low_contrast")
+    )
+    return mat.select(
+        "image_id",
+        "fmt",
+        "adj",
+        "mean_x100",
+        "std_x100",
         reason.alias("reason"),
         reason.isNull().cast("int").alias("kept"),
     )
