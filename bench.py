@@ -63,6 +63,7 @@ HEADLINE = [
     "m9_image_curation",
     "t14_gopher_quality_rules",
     "m10_image_exposure_filter",
+    "t15_quality_classifier",  # ridge-probe train+apply in one plan
 ]
 
 # single-shot timing couldn't distinguish a regression from noise

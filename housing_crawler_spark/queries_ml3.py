@@ -1,11 +1,11 @@
 """Round-5 additions to the LLM-data-pipeline family: data-selection /
 quality-scoring operators from the published curation literature, a
-point-in-time (as-of) join, and the LAION-style image-caption curation
-funnel over the opaque image column.
+point-in-time (as-of) join, an islands-and-gaps streak window, and
+image-curation operators over the opaque image column.
 
-All four are oracle-verified (dual Spark + DuckDB text) and follow the
-package's scale rules: pure JVM expressions (Python only in the m9
-image-table Arrow stage, which is materialized before the returned
+All are oracle-verified (dual Spark + DuckDB text) and follow the
+package's scale rules: pure JVM expressions (Python only in the
+m9/m10 image Arrow stages, which are materialized before the returned
 plan), equi-joins/windows keyed by data keys, integer-scaled floats
 wherever a sum's order could drift between engines.
 
@@ -18,8 +18,15 @@ build brief asks for):
   - t13: Wenzek et al. 2020, "CCNet" — per-document LM cross-entropy
     scoring with head/middle/tail buckets (unigram add-one LM here;
     CCNet uses a 5-gram KenLM, same pipeline shape).
+  - t14: Rae et al. 2021, "Gopher" Table A1 — the quality-rule
+    battery beyond t9's repetition rules.
+  - t15: Brown et al. 2020, GPT-3 appendix A — the curated-vs-crawl
+    quality classifier whose score gates training data (closed-form
+    ridge probe here instead of logistic regression; same pipeline).
   - m9: Schuhmann et al. 2021, "LAION-400M" — metadata/caption filters
     + exact-hash image dedup keeping the best-resolution copy.
+  - m10: the LAION/DataComp-style image quality pre-filter (exposure
+    and contrast gates) over decoded pixels.
   - j9: the classic point-in-time join (ASOF JOIN in DuckDB/kdb); the
     Spark-side shape is the union + cumulative-window trick, one
     shuffle keyed by the join key.
@@ -784,4 +791,178 @@ def m10_image_exposure_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "std_x100",
         reason.alias("reason"),
         reason.isNull().cast("int").alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t15 — trained quality classifier (the GPT-3 / PaLM curation shape:
+# a cheap linear classifier is trained with the trusted corpus as the
+# positive class and junk as the negative class, then its score gates
+# what enters training). Positive examples are the documents table;
+# negatives are planted junk twins (each doc re-emitted with a fixed
+# junk-token tail — the "raw crawl" class, planted identically in
+# both engines like d7's near-dups). Features are k=9 hashed
+# uni+bigram relative frequencies; the model is a closed-form ridge
+# probe solved from ONE row of global sufficient statistics via the
+# staged Gaussian elimination shared verbatim with the DuckDB oracle
+# (sources/models.gauss_ridge_stages — the v5 machinery, here with a
+# single global fit instead of walk-forward weeks). The synthetic
+# corpus's unigram distributions barely differ by language (pooled
+# hash-bucket features can't express a lang label — measured ~55%),
+# so the curated-vs-junk label is also the one that matches the
+# published setup.
+#
+# 100 TB shape: train+apply in two passes over the feature table
+# (cached): pass 1 reduces map-side to ONE O(k²) sufficient-stats row
+# (no shuffle beyond the final combine), the solve is a driver-sized
+# select chain, and apply is a broadcast of the 1-row coefficient
+# table against the cached features. The classifier never sees raw
+# text twice and nothing iterative happens — normal equations, not
+# SGD. The decision threshold is the TRAINING base rate (a linear
+# probe's scores center on it), and the prediction compares the
+# ROUNDED score to the ROUNDED threshold so both engines branch
+# identically.
+# ---------------------------------------------------------------------------
+
+_T15_K = 9
+_T15_LAM = 1.0
+_T15_THR_SQL = "round((csy/cn) + 1e-9, 4)"  # training base rate
+_T15_JUNK = " qz9 wkx jvq zzx kqj"  # junk-tail unit (×12 per twin)
+
+
+def _t15_score_sql() -> str:
+    terms = " + ".join(f"b{i}*x{i}" for i in range(1, _T15_K + 1))
+    return f"round((b0 + {terms}) + 1e-9, 4)"
+
+
+def _t15_oracle() -> str:
+    from .sources.models import gauss_ridge_sql
+
+    k = _T15_K
+    cbuckets = ",\n             ".join(
+        f"sum((('0x' || substr(md5(tok), 1, 15))::BIGINT % {k} = {i - 1})::INT)"
+        f"::BIGINT AS c{i}"
+        for i in range(1, k + 1)
+    )
+    xcols = ", ".join(f"c{i} / n_tok AS x{i}" for i in range(1, k + 1))
+    csx = ", ".join(f"sum(x{i}) AS csx{i}" for i in range(1, k + 1))
+    csij = ", ".join(
+        f"sum(x{i}*x{j}) AS cs{i}{j}"
+        for i in range(1, k + 1)
+        for j in range(i, k + 1)
+    )
+    csy = ", ".join(f"sum(x{i}*y) AS csy{i}" for i in range(1, k + 1))
+    gctes, final = gauss_ridge_sql(k, _T15_LAM, src="cum")
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, 1.0 AS y, text
+      FROM documents WHERE length(text) > 0
+      UNION ALL
+      SELECT doc_id + 6000000, 0.0 AS y,
+             text || repeat('{_T15_JUNK}', 12)
+      FROM documents WHERE length(text) > 0
+    ),
+    toks0 AS (
+      SELECT doc_id, y, {_TOKENS_SQL} AS tk FROM corpus
+    ),
+    toks AS (
+      SELECT doc_id, y, unnest(tk) AS tok FROM toks0
+      UNION ALL
+      SELECT doc_id, y, unnest({_tok_ngrams_all_sql("tk", 2)}) AS tok
+      FROM toks0
+    ),
+    feat AS (
+      SELECT doc_id, y,
+             count(*)::BIGINT AS n_tok,
+             {cbuckets}
+      FROM toks GROUP BY doc_id, y
+    ),
+    x AS (
+      SELECT doc_id, y, n_tok, {xcols} FROM feat
+    ),
+    cum AS (
+      SELECT count(*)::DOUBLE AS cn, sum(y) AS csy, {csx}, {csij}, {csy}
+      FROM x
+    ),
+    {gctes}
+    SELECT d.doc_id, d.y::INT AS label, d.n_tok,
+           {_t15_score_sql()} AS score,
+           ({_t15_score_sql()} > {_T15_THR_SQL})::INT AS predicted
+    FROM x d CROSS JOIN {final}
+    """
+
+
+@query("t15_quality_classifier", oracle=_t15_oracle())
+def t15_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge quality classifier: train on hashed-token
+    frequencies vs the lang='en' target, score + classify every doc."""
+    from .sources.models import gauss_ridge_stages
+
+    k = _T15_K
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .repartition(shuffle, "doc_id")  # single-split parquet, see t12
+        .select("doc_id", "text")
+    )
+    corpus = docs.select(
+        "doc_id", F.lit(1.0).alias("y"), "text"
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + 6000000).alias("doc_id"),
+            F.lit(0.0).alias("y"),
+            F.concat(
+                F.col("text"), F.repeat(F.lit(_T15_JUNK), 12)
+            ).alias("text"),
+        )
+    )
+    toks0 = corpus.select("doc_id", "y", tokens(F.col("text")).alias("tk"))
+    toks = toks0.select(
+        "doc_id",
+        "y",
+        F.explode(
+            F.concat(F.col("tk"), _tok_ngrams_all(F.col("tk"), 2))
+        ).alias("tok"),
+    )
+    b = md5int(F.col("tok")) % k
+    feat = toks.groupBy("doc_id", "y").agg(
+        F.count("*").alias("n_tok"),
+        *[
+            F.sum((b == i - 1).cast("int")).alias(f"c{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+    # x feeds the stats pass AND the scoring join — cache (fan-out)
+    x = feat.select(
+        "doc_id",
+        "y",
+        "n_tok",
+        *[
+            (F.col(f"c{i}") / F.col("n_tok")).alias(f"x{i}")
+            for i in range(1, k + 1)
+        ],
+    ).cache()
+    aggs = [F.count("*").cast("double").alias("cn"), F.sum("y").alias("csy")]
+    aggs += [F.sum(f"x{i}").alias(f"csx{i}") for i in range(1, k + 1)]
+    for i in range(1, k + 1):
+        for j in range(i, k + 1):
+            aggs.append(
+                F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"cs{i}{j}")
+            )
+    aggs += [
+        F.sum(F.col(f"x{i}") * F.col("y")).alias(f"csy{i}")
+        for i in range(1, k + 1)
+    ]
+    cum = x.agg(*aggs)
+    for st in gauss_ridge_stages(k, _T15_LAM):
+        cum = cum.select("*", *[F.expr(e).alias(n) for n, e in st.items()])
+    coefs = cum.select("cn", "csy", *[f"b{i}" for i in range(0, k + 1)])
+    score = F.expr(_t15_score_sql())
+    return x.crossJoin(F.broadcast(coefs)).select(
+        "doc_id",
+        F.col("y").cast("int").alias("label"),
+        "n_tok",
+        score.alias("score"),
+        (score > F.expr(_T15_THR_SQL)).cast("int").alias("predicted"),
     )

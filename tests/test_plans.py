@@ -78,6 +78,9 @@ def test_no_cartesian_products_anywhere(spark, sf_smoke):
     # funnels everything through one task)
     allowed_cross = {"s4_ivf_ann", "a9_standardize", "a12_ttest_ingredients",
                      "a13_ols_slope", "a15_percentile_of_value",
+                     # t15's 1-row coefficient table broadcast against
+                     # the cached feature table (train+apply, a9 shape)
+                     "t15_quality_classifier",
                      # brute-force kNN IS the deliberate all-pairs
                      # baseline (broadcast 5 probes x corpus); s2/s3/s4
                      # are the scale paths
