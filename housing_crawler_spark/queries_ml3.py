@@ -338,62 +338,41 @@ def t13_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join clicks→latest prior error per user (union + window,
-    one shuffle on user_id — never a range join or per-key collect)."""
+    """As-of join clicks→latest prior error per user via the generic
+    operators/asof.py operator (union + cumulative window, one shuffle
+    on user_id — never a range join or per-key collect; the operator
+    itself is property-tested against pandas.merge_asof)."""
+    from .operators.asof import asof_join_backward
+
     ev = load(spark, sf_dir, "events")
     err = (
         ev.filter(F.col("event_type") == "error")
-        .groupBy("user_id", "ts")
+        .groupBy("user_id", "ts")  # asof requires right unique per (by, ts)
         .agg(
             F.max("event_id").alias("err_id"),
             F.expr("max_by(value, event_id)").alias("err_value"),
         )
-        .select(
-            "user_id",
-            "ts",
-            F.lit(0).alias("is_left"),
-            F.lit(None).cast("long").alias("event_id"),
-            F.lit(None).cast("double").alias("value"),
-            "err_id",
-            "err_value",
-            F.col("ts").alias("err_ts"),
-        )
     )
     clk = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("is_left"),
-        "event_id",
-        "value",
-        F.lit(None).cast("long").alias("err_id"),
-        F.lit(None).cast("double").alias("err_value"),
-        F.lit(None).cast("timestamp").alias("err_ts"),
+        "event_id", "user_id", "ts", "value"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m = asof_join_backward(
+        clk, err, by=["user_id"], ts="ts", right_cols=["err_id", "err_value"]
     )
-    u = err.unionByName(clk).select(
-        "*",
-        F.last("err_id", ignorenulls=True).over(w).alias("prior_error_id"),
-        F.last("err_value", ignorenulls=True).over(w).alias("prior_value"),
-        F.last("err_ts", ignorenulls=True).over(w).alias("prior_ts"),
-    )
-    return u.filter(F.col("is_left") == 1).select(
+    return m.select(
         "event_id",
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         F.round(F.col("value") + F.lit(1e-9), 4).alias("click_value"),
-        "prior_error_id",
-        F.round(F.col("prior_value") + F.lit(1e-9), 4).alias(
+        F.col("err_id_matched").alias("prior_error_id"),
+        F.round(F.col("err_value_matched") + F.lit(1e-9), 4).alias(
             "prior_error_value"
         ),
         (
             # events.ts is TIMESTAMP_NTZ; session tz is pinned UTC so
             # the cast is exactly DuckDB's epoch_us on the naive value
             F.unix_micros(F.col("ts").cast("timestamp"))
-            - F.unix_micros(F.col("prior_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_matched").cast("timestamp"))
         ).alias("gap_us"),
     )
 
