@@ -251,6 +251,14 @@ _DUPED_SQL = """
 
 
 def _duped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE for consumers: the documents parquet is 1-2 input splits, so
+    # heavy per-row expression pipelines (char-3-grams, minhash perms,
+    # 10-token spans) run on 1-2 of 32 cores unless the CONSUMER
+    # repartitions before them (d9 measured 30.8s → 2.3s at sf0.1).
+    # The repartition is deliberately NOT applied here: an exchange in
+    # an uncached multi-branch plan re-executes per branch and measured
+    # SLOWER for t5 (+1.3s) and d2 (+0.4s) — add it only where the
+    # repartitioned result is consumed once or cached (d7, d9).
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     inj = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
@@ -427,8 +435,10 @@ _SIMHASH_BITS = 16
 )
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: explode tokens → portable token hash → per-bit
-    signed vote sums → reassembled hash. One shuffle (the groupBy)."""
-    d = load(spark, sf_dir, "documents")
+    signed vote sums → reassembled hash. One data shuffle (the groupBy)
+    after the spread repartition (_duped note)."""
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = load(spark, sf_dir, "documents").repartition(shuffle, "doc_id")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     th = tok.select("doc_id", md5int(F.col("tok")).alias("th"))
     votes = th.groupBy("doc_id").agg(

@@ -135,9 +135,13 @@ def d7_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     + two equi-joins re-fetching gram sets (candidate's and keeper's)
     from the cached gram table; no cross join, no quadratic pair
     set."""
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     corpus = _mut(spark, sf_dir)
     grams = (
-        corpus.withColumn("__norm", norm_text(F.col("text")))
+        # spread the gram build — the source is 1-2 input splits and
+        # this is the expensive expression; safe because cached
+        corpus.repartition(shuffle, "doc_id")
+        .withColumn("__norm", norm_text(F.col("text")))
         .select(
             "doc_id",
             F.array_distinct(
@@ -1537,9 +1541,11 @@ def t8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; only matches shuffle into the tiny per-doc aggregate."""
     from .queries_ml import tokens
 
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     toks = (
         load(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
+        .repartition(shuffle, "doc_id")  # 1-2 splits otherwise (_duped note)
         .select("doc_id", tokens(F.col("text")).alias("tk"))
     )
     ev = toks.filter(
@@ -1659,9 +1665,11 @@ def t9_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     one flattened array, one explode, two keyed aggregations."""
     from .queries_ml import tokens
 
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     toks = (
         load(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
+        .repartition(shuffle, "doc_id")  # 1-2 splits otherwise (_duped note)
         .select(
             "doc_id",
             F.length("text").cast("long").alias("n_chars"),
@@ -1946,9 +1954,14 @@ def d9_substring_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     second gram build."""
     from .queries_ml import tokens
 
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     spans = (
         _duped(spark, sf_dir)
         .filter(F.length("text") > 0)
+        # spread the span build (the expensive expression) across the
+        # cluster — the source is 1-2 input splits (30.8s → 2.3s at
+        # sf0.1 on local[32]); safe here because the result is cached
+        .repartition(shuffle, "doc_id")
         .select(
             "doc_id",
             F.explode(
