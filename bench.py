@@ -64,6 +64,7 @@ HEADLINE = [
     "t14_gopher_quality_rules",
     "m10_image_exposure_filter",
     "t15_quality_classifier",  # ridge-probe train+apply in one plan
+    "s6_pq_ann",  # product-quantization ANN (train+encode+ADC)
 ]
 
 # single-shot timing couldn't distinguish a regression from noise

@@ -945,3 +945,234 @@ def t15_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (score > F.expr(_T15_THR_SQL)).cast("int").alias("predicted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s6 — product-quantization ANN (Jégou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"): the third scale path
+# next to s2's LSH buckets and s4's IVF lists, and the one that
+# compresses the corpus itself — each 64-dim vector becomes m=8
+# one-byte codes, and probes score candidates through an
+# asymmetric-distance (ADC) lookup table without ever touching the
+# original vectors.
+#
+# Probe design: the raw corpus is near-uniform on the sphere (exact
+# top-3 L2 neighbors don't even share labels), so raw-corpus recall is
+# noise-bound for ANY quantizer; probes are instead planted perturbed
+# twins of every 20th vector — the meaningful-similarity case ANN
+# exists for — and PQ recovers the source as top-1 for ALL of them
+# (recall gate in tests/test_plans.py).
+#
+# 100 TB shape: codebook training touches only (n·m) subvector rows
+# with broadcast m×k centroid dims (the s4 k-means pattern, keyed by
+# subspace); encoding is one such assignment; probe scoring joins the
+# n×m code table against a probes×m×k lookup table broadcast map-side
+# and reduces keyed by (probe, vector) — never an all-pairs distance
+# computation, and the scored representation is 8 bytes/vector
+# instead of 256. Partial distances are integer-scaled (×1e6) so the
+# per-pair sums are exact in both engines; every argmin is decided on
+# 6-decimal-rounded distances with centroid-id tiebreaks (the s4
+# determinism pattern).
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_D = 8  # dims per subspace (64-dim embeddings)
+_PQ_K = 8  # centroids per subspace
+_PQ_TOPK = 3
+_PQ_EVERY = 20  # plant a perturbed twin of every 20th vector
+# deterministic perturbation, same expression text in both engines
+_PQ_PERT = "0.02 * ((({i} - 1) % 7) - 3)"
+
+
+def _l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _pq_assign_sql(sub: str, cents: str) -> str:
+    return f"""
+      SELECT vec_id, j, sv, cid FROM (
+        SELECT s.vec_id, s.j, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                 ORDER BY round({_l2_sql("s.sv", "c.cv")} + 1e-9, 6), c.cid)
+                 AS rk
+        FROM {sub} s JOIN {cents} c ON c.j = s.j
+      ) WHERE rk = 1
+    """
+
+
+def _pq_recenter_sql(assigned: str) -> str:
+    return f"""
+      SELECT j, cid, list(m ORDER BY pos) AS cv FROM (
+        SELECT j, cid, pos, round(avg(v) + 1e-9, 4) AS m FROM (
+          SELECT j, cid, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos
+          FROM {assigned}
+        ) GROUP BY j, cid, pos
+      ) GROUP BY j, cid
+    """
+
+
+def _pq_oracle() -> str:
+    pert = _PQ_PERT.format(i="i")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id + 1000000 AS probe_id, vec_id AS src_id,
+             list_transform(generate_series(1, len(e)),
+                            i -> e[i] + {pert}) AS e
+      FROM base WHERE vec_id % {_PQ_EVERY} = 0
+    ),
+    sub AS (
+      SELECT vec_id, j, e[(j * {_PQ_D} + 1):(j * {_PQ_D} + {_PQ_D})] AS sv
+      FROM base, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j)
+    ),
+    c0 AS (SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < {_PQ_K}),
+    a1 AS ({_pq_assign_sql("sub", "c0")}),
+    c1 AS ({_pq_recenter_sql("a1")}),
+    a2 AS ({_pq_assign_sql("sub", "c1")}),
+    c2 AS ({_pq_recenter_sql("a2")}),
+    codes AS (
+      SELECT vec_id, j, cid AS code FROM ({_pq_assign_sql("sub", "c2")})
+    ),
+    psub AS (
+      SELECT probe_id, j,
+             e[(j * {_PQ_D} + 1):(j * {_PQ_D} + {_PQ_D})] AS sv
+      FROM probes, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j)
+    ),
+    lut AS (
+      SELECT p.probe_id, c.j, c.cid,
+             CAST(round({_l2_sql("p.sv", "c.cv")} * 1000000.0 + 1e-9, 0)
+                  AS BIGINT) AS pd_x1e6
+      FROM psub p JOIN c2 c ON c.j = p.j
+    ),
+    adc AS (
+      SELECT l.probe_id, x.vec_id AS neighbor_id, sum(l.pd_x1e6) AS d_x1e6
+      FROM codes x JOIN lut l ON l.j = x.j AND l.cid = x.code
+      GROUP BY l.probe_id, x.vec_id
+    )
+    SELECT probe_id, neighbor_id,
+           round(d_x1e6 / 1000000.0 + 1e-9, 4) AS approx_dist
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+        ORDER BY d_x1e6, neighbor_id) AS rk
+      FROM adc
+    ) WHERE rk <= {_PQ_TOPK}
+    """
+
+
+def _pq_l2(a, b):
+    """Left-fold L2² — same fold order and IEEE ops as _l2_sql."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_sub(df: DataFrame, idcol: str) -> DataFrame:
+    """(id, e) → (id, j, sv) — one row per subspace slice."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice("e", j * _PQ_D + 1, _PQ_D).alias("sv"),
+            )
+            for j in range(_PQ_M)
+        ]
+    )
+    return df.select(idcol, F.explode(slices).alias("s")).select(
+        idcol, F.col("s.j").alias("j"), F.col("s.sv").alias("sv")
+    )
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame, idcol: str = "vec_id") -> DataFrame:
+    s, c = sub.alias("s"), F.broadcast(cents).alias("c")
+    d = _pq_l2(F.col("s.sv"), F.col("c.cv"))
+    w = Window.partitionBy(idcol, F.col("s.j")).orderBy(
+        F.round(d + F.lit(1e-9), 6), F.col("cid")
+    )
+    return (
+        s.join(c, F.col("s.j") == F.col("c.j"))
+        .select(idcol, F.col("s.j").alias("j"), "sv", "cid",
+                F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select(idcol, "j", "sv", "cid")
+    )
+
+
+def _pq_recenter(assigned: DataFrame) -> DataFrame:
+    exploded = assigned.select("j", "cid", F.posexplode("sv").alias("pos", "v"))
+    means = exploded.groupBy("j", "cid", "pos").agg(
+        F.round(F.avg("v") + F.lit(1e-9), 4).alias("m")
+    )
+    return means.groupBy("j", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+        ).alias("cv")
+    )
+
+
+@query("s6_pq_ann", oracle=_pq_oracle())
+def s6_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate NN: m=8×k=8 subspace codebooks (2 Lloyd
+    iterations, first-K seeds — the oracle's pinned deterministic
+    setting), corpus encoded to 8 codes/vector, planted perturbed-twin
+    probes scored via integer-scaled lookup tables, top-3 per probe."""
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    pert_i = F.expr(f"transform(sequence(1, {_PQ_M * _PQ_D}), i -> "
+                    f"element_at(e, i) + {_PQ_PERT.format(i='i')})")
+    probes = base.filter(F.col("vec_id") % _PQ_EVERY == 0).select(
+        (F.col("vec_id") + 1000000).alias("probe_id"),
+        pert_i.alias("e"),
+    )
+    # sub feeds every training iteration + the final encode — cache
+    sub = _pq_sub(base, "vec_id").cache()
+    cents = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "j", F.col("sv").alias("cv")
+    )
+    for _ in range(2):
+        cents = _pq_recenter(_pq_assign(sub, cents))
+    # cents feeds BOTH the encode and the lookup table — cache, or the
+    # whole training tree re-runs per branch (fan-out trap)
+    cents = cents.cache()
+    codes = _pq_assign(sub, cents).select("vec_id", "j", F.col("cid").alias("code"))
+    psub = _pq_sub(probes, "probe_id")
+    p, c = psub.alias("p"), F.broadcast(cents).alias("c")
+    lut = p.join(c, F.col("p.j") == F.col("c.j")).select(
+        "probe_id",
+        F.col("c.j").alias("j"),
+        "cid",
+        F.round(_pq_l2(F.col("p.sv"), F.col("c.cv")) * 1000000.0 + F.lit(1e-9), 0)
+        .cast("long")
+        .alias("pd_x1e6"),
+    )
+    adc = (
+        codes.alias("x")
+        .join(
+            F.broadcast(lut).alias("l"),
+            (F.col("l.j") == F.col("x.j")) & (F.col("l.cid") == F.col("x.code")),
+        )
+        .groupBy("probe_id", F.col("x.vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd_x1e6").alias("d_x1e6"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("d_x1e6", "neighbor_id")
+    return (
+        adc.select("*", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(F.col("d_x1e6") / 1000000.0 + F.lit(1e-9), 4).alias(
+                "approx_dist"
+            ),
+        )
+    )

@@ -400,3 +400,27 @@ def test_star_components_collapses_1000_hop_chain(spark):
         (r["node"], r["component"]) for r in min_label_components(shallow).collect()
     )
     assert a == b
+
+
+def test_s6_pq_twin_recall(spark, sf_smoke):
+    """PQ quality gate: every planted perturbed-twin probe must rank
+    its SOURCE vector as the top-1 ADC neighbor (probe_id = src_id +
+    1e6, so the check is pure arithmetic on the query output). The raw
+    corpus is near-uniform (exact neighbors are noise-level apart), so
+    the twin case is the one ANN is for — measured 25/25 at sf0.01."""
+    from pyspark.sql import functions as F
+
+    from housing_crawler_spark.queries_ml3 import s6_pq_ann
+
+    out = s6_pq_ann(spark, sf_smoke).filter(F.col("approx_dist").isNotNull())
+    # collect() order is arbitrary — find each probe's rank-1 row as
+    # the (dist, id)-minimal one, mirroring the query's own ordering
+    rows = out.collect()
+    best = {}
+    for r in rows:
+        cur = best.get(r.probe_id)
+        if cur is None or (r.approx_dist, r.neighbor_id) < cur[:2]:
+            best[r.probe_id] = (r.approx_dist, r.neighbor_id)
+    assert best, "no probes scored"
+    misses = {p: v for p, v in best.items() if v[1] != p - 1000000}
+    assert not misses, f"twin not top-1 for {len(misses)} probes: {misses}"
