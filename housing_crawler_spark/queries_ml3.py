@@ -29,7 +29,9 @@ build brief asks for):
     and contrast gates) over decoded pixels.
   - j9: the classic point-in-time join (ASOF JOIN in DuckDB/kdb); the
     Spark-side shape is the union + cumulative-window trick, one
-    shuffle keyed by the join key.
+    shuffle keyed by the join key (generic operator: operators/asof.py).
+  - s6: Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search" — subspace codebooks + asymmetric-distance (ADC) scoring.
 """
 
 from __future__ import annotations
