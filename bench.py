@@ -87,6 +87,13 @@ def bench_queries(spark) -> dict[str, float]:
             # queries cache() derived tables internally; drop between
             # reps so later reps don't accumulate heap pressure
             spark.catalog.clearCache()
+            # ...and collect the garbage NOW (JMH-style): leftover heap
+            # from a heavy predecessor throttles the next measurement
+            # 10-20x (d9 measured 38-73 s right after the m/t block,
+            # 2.1 s after one System.gc()) — each rep should pay for
+            # its own allocation, not its predecessors' garbage. GC
+            # runs outside the timed section.
+            spark.sparkContext._jvm.System.gc()
         out[name] = round(sorted(times)[len(times) // 2], 3)
     return out
 
