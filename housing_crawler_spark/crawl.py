@@ -344,7 +344,19 @@ class CrawlEngine:
         b = store.latest_snapshot_round("known", r)
         parts = []
         if b is not None:
-            base = store.read_snapshot_buckets(spark, "known", b, buckets)
+            info = store.snapshot_info("known", b)
+            if info is not None and "manifest" in info:
+                base = store.read_snapshot_buckets(spark, "known", b, buckets)
+            else:
+                # legacy (pre-bucketing) snapshot: no manifest to prune
+                # by — fall back to the full snapshot kb-filtered, exactly
+                # like the compaction path's legacy handling (round-5
+                # advice: the next compaction converts it to bucketed
+                # form; until then the probe pays one unpruned scan
+                # rather than crashing on resume of an old store)
+                base = store.read_snapshot(spark, "known", b).filter(
+                    self._kb(url_hash(F.col("canonical_url"))).isin(buckets)
+                )
             if base is not None:
                 parts.append(base.select("canonical_url"))
         deltas = store.read_deltas(

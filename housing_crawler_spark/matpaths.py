@@ -37,8 +37,17 @@ _PID_RE = re.compile(r"_(\d+)$")
 def mat_path(name: str) -> str:
     """Parquet dir for this query's materialized stage, scoped to the
     current pid (stable for the process lifetime — the oracle f-string
-    captures it at import time)."""
-    return f"{_ROOT}/{name}{_SUFFIX}"
+    captures it at import time). Reuse TOUCHES the dir so a
+    legitimately long-lived session (>1 week soak/bench loop) keeps its
+    mtime fresh and the age-cap sweep below can never reap a dir that
+    is actively in use (round-5 advice)."""
+    path = f"{_ROOT}/{name}{_SUFFIX}"
+    if os.path.isdir(path):
+        try:
+            os.utime(path, None)
+        except OSError:
+            pass
+    return path
 
 
 def _pid_alive(pid: int) -> bool:
@@ -66,11 +75,13 @@ def _cleanup() -> None:
             age = now - os.path.getmtime(full)
         except OSError:
             continue
-        # orphaned (crashed) pid's dir: owner dead AND aged out — OR so
-        # old that pid liveness is meaningless (pid-number recycling
-        # would otherwise starve the sweep forever, round-4 advice; no
-        # legitimate session runs for a week)
-        if age > 7 * 86400 or (
-            age > 86400 and m and not _pid_alive(int(m.group(1)))
+        # orphaned (crashed) pid's dir: owner dead AND aged out — OR
+        # unparseable-pid junk aged a week. A week-old dir whose pid is
+        # ALIVE is safe to reap too (pid recycling, round-4 advice)
+        # because mat_path() touches dirs on reuse: a live session that
+        # used the dir in the last week has a fresh mtime (round-5
+        # advice closed the reap-under-a-live-soak-loop hole).
+        if (age > 86400 and m and not _pid_alive(int(m.group(1)))) or (
+            age > 7 * 86400
         ):
             shutil.rmtree(full, ignore_errors=True)

@@ -97,6 +97,23 @@ class SnapshotStore:
         bucket has gone dirty — a vacuum must walk manifest
         reachability before deleting (exactly Iceberg's rule)."""
         path = self._dir(table, "snap", rnd)
+        # The manifest is rebuilt from the directory listing below, which
+        # is only exact under STATIC partition overwrite (the whole path
+        # is wiped first). Under dynamic mode, bucket dirs left by a
+        # crashed earlier attempt would survive the overwrite and be
+        # silently re-adopted as live buckets (round-5 advice).
+        mode = (
+            df_dirty.sparkSession.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            or "static"
+        ).lower()
+        assert mode == "static", (
+            "write_bucketed_snapshot requires"
+            " spark.sql.sources.partitionOverwriteMode=static; got "
+            f"{mode!r} — the listdir-derived manifest would adopt stale"
+            " bucket dirs from crashed attempts"
+        )
         (
             df_dirty.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
         )
@@ -116,9 +133,15 @@ class SnapshotStore:
         for b in dirty or ():
             manifest.pop(str(b), None)
         prefix = f"{bucket_col}="
+        dirty_keys = {str(b) for b in dirty} if dirty is not None else None
         for d in sorted(os.listdir(path)):
             if d.startswith(prefix):
-                manifest[d[len(prefix):]] = os.path.join(path, d)
+                key = d[len(prefix):]
+                # when the caller declared the dirty set, never adopt a
+                # dir outside it (second line of defense vs stale dirs)
+                if dirty_keys is not None and key not in dirty_keys:
+                    continue
+                manifest[key] = os.path.join(path, d)
         return {
             "table": table,
             "kind": "snap",

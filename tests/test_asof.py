@@ -8,6 +8,7 @@ from __future__ import annotations
 import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from housing_crawler_spark.operators.asof import asof_join_backward
 
@@ -103,6 +104,56 @@ def test_asof_edges(spark):
         2: (None, None),
         3: (7, 10),
     }
+
+
+def test_asof_null_right_payload_stays_same_row(spark):
+    """Round-5 advice: a matched right row whose payload VALUE is NULL
+    must win anyway — carrying columns independently made the NULL fall
+    back to an OLDER right row's value while ts_matched pointed at the
+    newer row (mixed-row output). The struct-packed carry fixes it."""
+    left = spark.createDataFrame(
+        [(0, 1, 30)], "lid long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 20, None)],
+        "user_id long, ts long, rval long",
+    )
+    out = asof_join_backward(
+        left, right, by=["user_id"], ts="ts", right_cols=["rval"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the ts=20 right row matches; its rval is genuinely NULL — it must
+    # NOT inherit 7 from the ts=10 row
+    assert r["ts_matched"] == 20
+    assert r["rval_matched"] is None
+    # (merge_asof's documented behavior matches: the matched row's NaN
+    # payload stays NaN; the int64-only pandas twin helper can't carry a
+    # nullable payload so no cross-check here)
+
+
+def test_asof_hot_key_100k_single_task(spark):
+    """Scale-note pin (round-5 verdict): one key holding 10^5 rows
+    sorts inside a single task — slow but correct; the docstring
+    documents the pre-split recipe for genuinely skewed keys."""
+    n = 100_000
+    left = (
+        spark.range(n)
+        .selectExpr("id as lid", "CAST(1 AS long) user_id", "id * 2 + 1 as ts")
+    )
+    right = spark.range(n).selectExpr(
+        "CAST(1 AS long) user_id", "id * 2 as ts", "id as rval"
+    )
+    out = asof_join_backward(
+        left, right, by=["user_id"], ts="ts", right_cols=["rval"]
+    )
+    # every left ts=2i+1 matches right ts=2i exactly
+    bad = out.filter(
+        (F.col("rval_matched") != (F.col("ts") - 1) / 2)
+        | (F.col("ts_matched") != F.col("ts") - 1)
+    ).count()
+    assert bad == 0
+    assert out.count() == n
 
 
 def test_asof_plan_is_one_shuffle(spark):
