@@ -65,6 +65,9 @@ HEADLINE = [
     "m10_image_exposure_filter",
     "t15_quality_classifier",  # ridge-probe train+apply in one plan
     "s6_pq_ann",  # product-quantization ANN (train+encode+ADC)
+    # round 6: audit → production semantics
+    "d10_substring_dup_cut",  # ExactSubstr CUT (interval merge + excise)
+    "s7_ivfpq_ann",  # IVF lists × PQ codes (the IVFADC composition)
 ]
 
 # single-shot timing couldn't distinguish a regression from noise
