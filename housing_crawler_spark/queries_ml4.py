@@ -27,9 +27,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from .operators.exactsubstr import exact_substr_cut
-from .queries import query, r4
+from .queries import load, query, r4
 from .queries_ml import _DUPED_SQL, _duped, _md5int_sql, _TOKENS_SQL
+from .queries_ml2 import _df_assign, _df_recenter, _sql_assign, _sql_recenter
+from .queries_ml3 import (
+    _PQ_D,
+    _PQ_EVERY,
+    _PQ_K,
+    _PQ_M,
+    _PQ_PERT,
+    _PQ_TOPK,
+    _l2_sql,
+    _pq_assign,
+    _pq_assign_sql,
+    _pq_l2,
+    _pq_recenter,
+    _pq_recenter_sql,
+    _pq_sub,
+)
 
 # ---------------------------------------------------------------------------
 # d10 — ExactSubstr cut (keep-one-copy span excision)
@@ -147,3 +165,200 @@ def d10_substring_dup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("kept_frac")).alias("kept_frac"),
         md5int(F.col("text_cut")).alias("cut_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s7 — IVF×PQ (the IVFADC composition, Jégou et al. 2011 §IV)
+#
+# s4 prunes (inverted lists) but scores raw vectors; s6 compresses
+# (8-byte PQ codes + integer ADC tables) but scans every corpus code
+# per probe. Production ANN composes them: a probe visits only its
+# nprobe nearest coarse cells and ADC-scores only the codes in those
+# cells — scored rows ∝ candidates (≈ nprobe·n/K per probe), never ∝
+# corpus (test_plans pins the bound and recall@1 vs the planted
+# twins). PQ here encodes the RAW vectors (both codebooks are exactly
+# s4's and s6's, reused); the paper's residual refinement (encode
+# x − coarse_centroid, one codebook set per composition) is the next
+# accuracy step and slots in by swapping the encode/LUT inputs.
+#
+# Determinism: identical to the halves — every k-means argmin and ADC
+# distance is decided on rounded values with id tiebreaks, so both
+# engines walk the same training trajectory and produce the same
+# codes, cells, and top-k.
+# ---------------------------------------------------------------------------
+
+_S7_NPROBE = 2
+_S7_K = 8  # coarse cells (s4's setting)
+
+
+def _s7_oracle() -> str:
+    pert = _PQ_PERT.format(i="i")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id + 1000000 AS probe_id,
+             list_transform(generate_series(1, len(e)),
+                            i -> e[i] + {pert}) AS e
+      FROM base WHERE vec_id % {_PQ_EVERY} = 0
+    ),
+    c0 AS (SELECT vec_id AS cid, e AS c FROM base WHERE vec_id < {_S7_K}),
+    a1 AS ({_sql_assign("base", "c0")}),
+    c1 AS ({_sql_recenter("a1")}),
+    a2 AS ({_sql_assign("base", "c1")}),
+    cc AS ({_sql_recenter("a2")}),
+    cells AS ({_sql_assign("base", "cc")}),
+    pbase AS (SELECT probe_id AS vec_id, e FROM probes),
+    pcells AS ({_sql_assign("pbase", "cc", _S7_NPROBE)}),
+    sub AS (
+      SELECT vec_id, j, e[(j * {_PQ_D} + 1):(j * {_PQ_D} + {_PQ_D})] AS sv
+      FROM base, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j)
+    ),
+    q0 AS (SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < {_PQ_K}),
+    pa1 AS ({_pq_assign_sql("sub", "q0")}),
+    q1 AS ({_pq_recenter_sql("pa1")}),
+    pa2 AS ({_pq_assign_sql("sub", "q1")}),
+    q2 AS ({_pq_recenter_sql("pa2")}),
+    codes AS (
+      SELECT vec_id, j, cid AS code FROM ({_pq_assign_sql("sub", "q2")})
+    ),
+    psub AS (
+      SELECT probe_id, j,
+             e[(j * {_PQ_D} + 1):(j * {_PQ_D} + {_PQ_D})] AS sv
+      FROM probes, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j)
+    ),
+    lut AS (
+      SELECT p.probe_id, c.j, c.cid,
+             CAST(round({_l2_sql("p.sv", "c.cv")} * 1000000.0 + 1e-9, 0)
+                  AS BIGINT) AS pd_x1e6
+      FROM psub p JOIN q2 c ON c.j = p.j
+    ),
+    cand AS (
+      SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id
+      FROM pcells p JOIN cells x ON x.cid = p.cid
+    ),
+    adc AS (
+      SELECT cd.probe_id, cd.neighbor_id, sum(l.pd_x1e6) AS d_x1e6
+      FROM cand cd
+      JOIN codes x ON x.vec_id = cd.neighbor_id
+      JOIN lut l ON l.probe_id = cd.probe_id
+               AND l.j = x.j AND l.cid = x.code
+      GROUP BY cd.probe_id, cd.neighbor_id
+    )
+    SELECT probe_id, neighbor_id,
+           round(d_x1e6 / 1000000.0 + 1e-9, 4) AS approx_dist
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+        ORDER BY d_x1e6, neighbor_id) AS rk
+      FROM adc
+    ) WHERE rk <= {_PQ_TOPK}
+    """
+
+
+def ivfpq_parts(spark: SparkSession, sf_dir: str):
+    """The composed pipeline's intermediate frames, exposed so tests
+    can assert the scored-candidate bound and recall without
+    re-deriving the training. Returns (probes, cells, cand, topk)."""
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    pert_i = F.expr(
+        f"transform(sequence(1, {_PQ_M * _PQ_D}), i -> "
+        f"element_at(e, i) + {_PQ_PERT.format(i='i')})"
+    )
+    probes = base.filter(F.col("vec_id") % _PQ_EVERY == 0).select(
+        (F.col("vec_id") + 1000000).alias("probe_id"),
+        pert_i.alias("e"),
+    )
+
+    # coarse quantizer (s4's trajectory: first-K seeds, 2 Lloyd iters)
+    cc = base.filter(F.col("vec_id") < _S7_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    for _ in range(2):
+        cc = _df_recenter(_df_assign(base, cc))
+    cc = cc.cache()  # feeds cells AND pcells
+    cells = _df_assign(base, cc).select("vec_id", "cid").cache()
+    pcells = (
+        _df_assign(
+            probes.select(F.col("probe_id").alias("vec_id"), "e"),
+            cc,
+            nprobe=_S7_NPROBE,
+        )
+        .select(F.col("vec_id").alias("probe_id"), "cid")
+    )
+
+    # PQ codebooks (s6's trajectory) + corpus codes
+    sub = _pq_sub(base, "vec_id").cache()
+    q = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "j", F.col("sv").alias("cv")
+    )
+    for _ in range(2):
+        q = _pq_recenter(_pq_assign(sub, q))
+    q = q.cache()  # feeds codes AND the LUT
+    codes = _pq_assign(sub, q).select(
+        "vec_id", "j", F.col("cid").alias("code")
+    )
+
+    # per-probe ADC lookup tables (integer-scaled, broadcastable:
+    # probes × m × k rows)
+    psub = _pq_sub(probes, "probe_id")
+    p, c = psub.alias("p"), F.broadcast(q).alias("c")
+    lut = p.join(c, F.col("p.j") == F.col("c.j")).select(
+        "probe_id",
+        F.col("c.j").alias("j"),
+        "cid",
+        F.round(
+            _pq_l2(F.col("p.sv"), F.col("c.cv")) * 1000000.0 + F.lit(1e-9), 0
+        )
+        .cast("long")
+        .alias("pd_x1e6"),
+    )
+
+    # THE composition: candidates = members of each probe's nprobe
+    # cells; only their codes flow into the ADC aggregation
+    cand = pcells.join(cells, "cid").select(
+        "probe_id", F.col("vec_id").alias("neighbor_id")
+    )
+    adc = (
+        cand.alias("cd")
+        .join(codes.alias("x"), F.col("x.vec_id") == F.col("cd.neighbor_id"))
+        .join(
+            F.broadcast(lut).alias("l"),
+            (F.col("l.probe_id") == F.col("cd.probe_id"))
+            & (F.col("l.j") == F.col("x.j"))
+            & (F.col("l.cid") == F.col("x.code")),
+        )
+        .groupBy("cd.probe_id", "cd.neighbor_id")
+        .agg(F.sum("pd_x1e6").alias("d_x1e6"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("d_x1e6", "neighbor_id")
+    topk = (
+        adc.select(
+            F.col("probe_id"),
+            F.col("neighbor_id"),
+            "d_x1e6",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(F.col("d_x1e6") / 1000000.0 + F.lit(1e-9), 4).alias(
+                "approx_dist"
+            ),
+        )
+    )
+    return probes, cells, cand, topk
+
+
+@query("s7_ivfpq_ann", oracle=_s7_oracle())
+def s7_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ ANN (IVFADC): coarse k-means lists prune each probe to
+    nprobe=2 cells, PQ codes + integer ADC tables score ONLY those
+    candidates, top-3 per planted perturbed-twin probe."""
+    _, _, _, topk = ivfpq_parts(spark, sf_dir)
+    return topk
