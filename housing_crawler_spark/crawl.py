@@ -769,6 +769,39 @@ class CrawlEngine:
                 if b_prev_f is not None
                 else None
             )
+            # known-side pending rows (folded further below) — built
+            # HERE and cached because they feed both the dirty-bucket
+            # discovery and the merge write (round-6 compaction-cost
+            # trim: each extra Spark job at a small world is pure fixed
+            # cost, 2.5-5 s per compaction round measured in round 5)
+            b_prev = store.latest_snapshot_round("known", r - 1)
+            prev_info = (
+                store.snapshot_info("known", b_prev) if b_prev is not None else None
+            )
+            if prev_info is not None and "manifest" in prev_info:
+                prev_manifest = dict(prev_info["manifest"])
+                from_r = b_prev + 1
+            else:
+                # no bucketed base yet: deltas 0..r-1 ARE the complete
+                # membership (snapshots only optimize reads), so fold
+                # everything once into bucketed form
+                prev_info, prev_manifest, from_r = None, {}, 0
+            pending = store.read_deltas(spark, "known", r - 1, from_round=from_r)
+            if n_new > 0:  # matches the delta-write condition above
+                sel_new = new_entries.select(*KNOWN_COLS)
+                pending = (
+                    sel_new
+                    if pending is None
+                    else pending.select(*KNOWN_COLS).unionByName(sel_new)
+                )
+            pend = (
+                None
+                if pending is None
+                else pending.withColumn(
+                    "__kb", self._kb(url_hash(F.col("canonical_url")))
+                ).cache()
+            )
+            dirty_k: list[int] | None = None
             if prev_f is not None and "manifest" in prev_f:
                 touched = fetched.select("canonical_url")
                 for tbl in ("fetch_log", "known"):
@@ -781,14 +814,26 @@ class CrawlEngine:
                     touched = touched.unionByName(
                         new_entries.select("canonical_url")
                     )
-                dirty_f = sorted(
-                    int(row["__fb"])
-                    for row in touched.select(
-                        self._fb(url_hash(F.col("canonical_url"))).alias("__fb")
-                    )
-                    .distinct()
-                    .collect()
+                # ONE dirty-bucket discovery job for BOTH bases: the
+                # frontier's touched URLs and the known pending rows are
+                # tagged, bucketed with each table's own modulus, and
+                # collected together — was two separate collect jobs
+                tf = touched.select(
+                    F.lit("f").alias("t"),
+                    self._fb(url_hash(F.col("canonical_url"))).alias("b"),
                 )
+                probe = (
+                    tf
+                    if pend is None
+                    else tf.unionByName(
+                        pend.select(
+                            F.lit("k").alias("t"), F.col("__kb").alias("b")
+                        )
+                    )
+                )
+                tagged = probe.distinct().collect()
+                dirty_f = sorted(int(x["b"]) for x in tagged if x["t"] == "f")
+                dirty_k = sorted(int(x["b"]) for x in tagged if x["t"] == "k")
                 n_dirty_f = len(dirty_f)
                 if not dirty_f:
                     infos.append({**prev_f})
@@ -838,43 +883,24 @@ class CrawlEngine:
             # carries every clean bucket forward by reference (zero
             # bytes). Rewrite volume ∝ dirty-bucket rows, not |known|;
             # known() still reads O(compact_every) dirs via the
-            # manifest. Round-r's known delta isn't committed yet, so
-            # fold new_entries in from memory.
-            b_prev = store.latest_snapshot_round("known", r - 1)
-            prev_info = (
-                store.snapshot_info("known", b_prev) if b_prev is not None else None
-            )
-            if prev_info is not None and "manifest" in prev_info:
-                prev_manifest = dict(prev_info["manifest"])
-                from_r = b_prev + 1
-            else:
-                # no bucketed base yet: deltas 0..r-1 ARE the complete
-                # membership (snapshots only optimize reads), so fold
-                # everything once into bucketed form
-                prev_info, prev_manifest, from_r = None, {}, 0
-            pending = store.read_deltas(spark, "known", r - 1, from_round=from_r)
-            if n_new > 0:  # matches the delta-write condition above
-                sel_new = new_entries.select(*KNOWN_COLS)
-                pending = (
-                    sel_new if pending is None else pending.select(*KNOWN_COLS).unionByName(sel_new)
-                )
-            if pending is None:
+            # manifest. (pend/prev_info/dirty_k built above, shared
+            # with the frontier-base dirty discovery.)
+            if pend is None:
                 # nothing new since the last base: advance the base
                 # round by carrying the manifest forward — no write job
                 infos.append({**prev_info, "path": prev_info["path"]})
                 n_dirty = 0
             else:
-                pend = pending.withColumn(
-                    "__kb", self._kb(url_hash(F.col("canonical_url")))
-                )
-                dirty = sorted(
-                    int(row["__kb"])
-                    for row in pend.select("__kb").distinct().collect()
-                )
-                n_dirty = len(dirty)
+                if dirty_k is None:
+                    # frontier side was a first-fold (no combined job)
+                    dirty_k = sorted(
+                        int(row["__kb"])
+                        for row in pend.select("__kb").distinct().collect()
+                    )
+                n_dirty = len(dirty_k)
                 prev_paths = [
                     prev_manifest[str(kb_id)]
-                    for kb_id in dirty
+                    for kb_id in dirty_k
                     if str(kb_id) in prev_manifest
                 ]
                 merged = pend
@@ -894,6 +920,7 @@ class CrawlEngine:
                         merged, "known", r, "__kb", inherit=prev_manifest
                     )
                 )
+                pend.unpersist()
             mark("compaction")
 
         metrics = {

@@ -117,18 +117,6 @@ class SnapshotStore:
         (
             df_dirty.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
         )
-        # zero-row schema sidecar: a mutable table can drain completely
-        # (every manifest entry dropped), and an empty partitioned write
-        # leaves no parquet footers to infer a schema from — readers
-        # fall back to this when the manifest is empty. ("_"-prefixed
-        # dirs are invisible to Spark's dir-level parquet listing.)
-        (
-            df_dirty.drop(bucket_col)
-            .limit(0)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(path, "_schema"))
-        )
         manifest = dict(inherit or {})
         for b in dirty or ():
             manifest.pop(str(b), None)
@@ -142,6 +130,22 @@ class SnapshotStore:
                 if dirty_keys is not None and key not in dirty_keys:
                     continue
                 manifest[key] = os.path.join(path, d)
+        if not manifest:
+            # zero-row schema sidecar: a mutable table can drain
+            # completely (every manifest entry dropped), and an empty
+            # partitioned write leaves no parquet footers to infer a
+            # schema from — read_snapshot falls back to this when the
+            # manifest is empty. Written ONLY in that case (round-6
+            # compaction-cost trim: the sidecar is one whole Spark job,
+            # and a non-empty manifest never reads it). "_"-prefixed
+            # dirs are invisible to Spark's dir-level parquet listing.
+            (
+                df_dirty.drop(bucket_col)
+                .limit(0)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, "_schema"))
+            )
         return {
             "table": table,
             "kind": "snap",
