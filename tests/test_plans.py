@@ -84,7 +84,13 @@ def test_no_cartesian_products_anywhere(spark, sf_smoke):
                      # brute-force kNN IS the deliberate all-pairs
                      # baseline (broadcast 5 probes x corpus); s2/s3/s4
                      # are the scale paths
-                     "s1_knn_bruteforce"}
+                     "s1_knn_bruteforce",
+                     # same K-row centroid-dim broadcast as s4: s7's
+                     # coarse quantizer reuses s4's assignment, and
+                     # s8/s9's SemDeDup clustering is the identical
+                     # K=8 trajectory — bounded by K, not data
+                     "s7_ivfpq_ann", "s8_semdedup",
+                     "s9_cluster_balanced_sample"}
     for name, qd in REGISTRY.items():
         if qd.oracle is None or name in allowed_cross:
             continue
