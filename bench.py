@@ -68,6 +68,7 @@ HEADLINE = [
     # round 6: audit → production semantics
     "d10_substring_dup_cut",  # ExactSubstr CUT (interval merge + excise)
     "s7_ivfpq_ann",  # IVF lists × PQ codes (the IVFADC composition)
+    "s8_semdedup",  # SemDeDup (k-means cells + within-cell cosine prune)
 ]
 
 # single-shot timing couldn't distinguish a regression from noise
