@@ -11,6 +11,33 @@ re-verified ones fill the tail. By construction no oracle query can go
 more than ceil(n_queries / 50) rounds without an independent driver
 re-check. Everything is ALSO checked locally by tests/test_queries.py
 regardless of position (see COVERAGE.md).
+
+Registry-hygiene policy at 100+ queries (round-5 VERDICT item 8).
+The gate re-checks GATE_SLOTS (=50) queries per round, so unbounded
+growth or mass re-fronting stretches re-check latency. Two rules keep
+the worst case at ONE round of latency for anything actually due:
+
+1. **Debt must fit the gate.** ``gate_debt()`` counts queries whose
+   green driver row is missing or stale (module edited since the row).
+   Every round must END with debt <= GATE_SLOTS so every due query
+   gets its driver row in the NEXT round at the latest — i.e. no query
+   is ever >2 rounds stale-while-edited. Enforced by
+   tests/test_registry_rotation.py::test_gate_debt_fits_gate, which
+   fails the build the moment an editing spree or query-adding spree
+   overruns the gate.
+2. **New queries consume gate slack.** Adding a query costs one debt
+   slot (it is never-checked by construction). Budget for a round:
+   new queries + newly-edited queries <= GATE_SLOTS − debt carried in.
+   When a planned family would overrun, split it across rounds or
+   freeze query-module churn until the gate drains (the round-6
+   approach: 4 new queries against 26 slots of slack).
+
+There is no separate "engine-critical" tier: the crawl engine's
+correctness is pinned by always-run pytest parity suites (not by the
+gate), and every oracle query — engine-adjacent or long-tail — is run
+by tests/test_queries.py on every local test pass regardless of gate
+position. The gate ordering only decides which INDEPENDENT driver
+re-checks happen first, and stalest-first is the right policy there.
 """
 
 from __future__ import annotations
@@ -119,4 +146,16 @@ REGISTRY = {
     )
 }
 
-__all__ = ["REGISTRY"]
+#: Queries the driver's correctness gate re-checks per round.
+GATE_SLOTS = 50
+
+
+def gate_debt() -> list[str]:
+    """Queries owed a driver row: never all-three-green, failed their
+    last check, or edited since their green row. The hygiene policy
+    (module docstring) requires len(gate_debt()) <= GATE_SLOTS at all
+    times, so nothing waits more than one round for its re-check."""
+    return [n for n in REGISTRY if _effective_green(n) == 0]
+
+
+__all__ = ["REGISTRY", "GATE_SLOTS", "gate_debt"]

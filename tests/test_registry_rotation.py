@@ -33,6 +33,19 @@ def test_verified_tail_orders_oldest_green_first() -> None:
     assert tail == sorted(tail)
 
 
+def test_gate_debt_fits_gate() -> None:
+    """Hygiene policy (all_queries.py docstring): the set of queries
+    owed a driver row must fit one round's gate, so no query is ever
+    more than 2 rounds stale-while-edited. If this fails, stop adding
+    or editing query modules until the gate drains."""
+    debt = aq.gate_debt()
+    assert len(debt) <= aq.GATE_SLOTS, (
+        f"{len(debt)} queries owe a driver row but the gate re-checks "
+        f"only {aq.GATE_SLOTS}/round; overflow would wait 2+ rounds: "
+        f"{debt[aq.GATE_SLOTS:]}"
+    )
+
+
 def test_edited_module_resets_green(monkeypatch) -> None:
     """A query whose defining module changed since its stamped
     fingerprint must report effective green 0 even with a green row."""
