@@ -56,6 +56,7 @@ from . import queries_ml2 as _qml2  # noqa: F401  (chained dedup/ANN pipelines)
 from . import queries_ml3 as _qml3  # noqa: F401  (DSIR/CCNet/as-of/LAION funnel)
 from . import queries_ml4 as _qml4  # noqa: F401  (ExactSubstr cut, IVF×PQ)
 from . import queries_ml5 as _qml5  # noqa: F401  (SemDeDup, D4 diversify)
+from . import queries_ml6 as _qml6  # noqa: F401  (split leakage, OCR/video)
 from . import queries_models as _qmd  # noqa: F401  (S10 weekly model pipeline)
 from . import queries_more as _qmo  # noqa: F401  (long-tail §2 shapes)
 from . import queries_multimodal as _qmm  # noqa: F401  (image columns)

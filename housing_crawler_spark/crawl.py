@@ -240,6 +240,10 @@ class CrawlEngine:
         self.store = store
         self.world = world
         self.cfg = cfg or EngineConfig()
+        # robots is written once at init (round 0) and never mutated, so
+        # its scan plan is memoized across rounds — rebuilding it was
+        # pure per-round driver fixed cost
+        self._robots: DataFrame | None = None
         from .session import _ship_package
 
         _ship_package(spark)  # worker-side imports under any session
@@ -570,7 +574,9 @@ class CrawlEngine:
         n_known_prev = last_metrics.get("n_known")
         n_seen_prev = last_metrics.get("n_seen", 0)
 
-        robots = store.read_snapshot(spark, "robots", 0)
+        if self._robots is None:
+            self._robots = store.read_snapshot(spark, "robots", 0)
+        robots = self._robots
         budgets = with_budgets(robots, world.round_seconds)
 
         frontier = self.frontier(r - 1)
