@@ -69,6 +69,9 @@ HEADLINE = [
     "d10_substring_dup_cut",  # ExactSubstr CUT (interval merge + excise)
     "s7_ivfpq_ann",  # IVF lists × PQ codes (the IVFADC composition)
     "s8_semdedup",  # SemDeDup (k-means cells + within-cell cosine prune)
+    "j10_split_leakage_audit",  # cross-split MinHash leakage audit
+    "m11_ocr_text_density",  # text-in-image pre-filter (Arrow decode)
+    "m12_video_frame_sample",  # video container + stride sample + cuts
 ]
 
 # single-shot timing couldn't distinguish a regression from noise

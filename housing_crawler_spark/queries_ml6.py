@@ -146,7 +146,15 @@ def j10_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     The signature table feeds four join sides — cached once (the
     d3/d7 lesson). Corpus = _duped (planted twins guarantee leakage
     work: a twin's split bucket differs from its original's)."""
-    d = _duped(spark, sf_dir).withColumn("__norm", norm_text(F.col("text")))
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # the gram+minhash pipeline is the heavy per-row stage and base is
+    # cached (consumed by 4 join sides) — spread the 1-2-split source
+    # first (the _duped consumer note: repartition only where cached)
+    d = (
+        _duped(spark, sf_dir)
+        .repartition(shuffle, "doc_id")
+        .withColumn("__norm", norm_text(F.col("text")))
+    )
     base = (
         d.select(
             "doc_id",
