@@ -72,6 +72,11 @@ HEADLINE = [
     "j10_split_leakage_audit",  # cross-split MinHash leakage audit
     "m11_ocr_text_density",  # text-in-image pre-filter (Arrow decode)
     "m12_video_frame_sample",  # video container + stride sample + cuts
+    "m13_video_near_dup",  # clip-level banded-phash near-dup
+    # d11_incremental_dedup is NOT in the headline: 3 sequential
+    # stateful ingests (~25 Spark jobs of fixed cost) measure the
+    # local-mode job floor, not data throughput — the driver gate
+    # checks its correctness at sf0.01
 ]
 
 # single-shot timing couldn't distinguish a regression from noise

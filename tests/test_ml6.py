@@ -73,3 +73,21 @@ def test_j10_planted_twins_leak_iff_split_differs(spark, sf_smoke):
     for vd in expected_val_docs:
         assert vd in got, f"planted cross-split twin {vd} not reported"
         assert got[vd] == 1.0
+
+
+def test_video_brightness_twin_frames_hash_near():
+    """m13's planted re-graded twins: the +6 brightness clip's sampled
+    frames stay within the Hamming confirm radius of the original's
+    (phash drops DC), while the pixel means visibly shift."""
+    from housing_crawler_spark.queries_ml6 import _M13_MAXHAM
+
+    for doc_id in (0, 7, 49):
+        _, buf_a = build_video(doc_id)
+        _, buf_b = build_video(doc_id, brightness=6)
+        fa, fb = sample_video(buf_a), sample_video(buf_b)
+        assert [i for i, _, _ in fa] == [i for i, _, _ in fb]
+        for (_, ma, pa), (_, mb, pb) in zip(fa, fb):
+            assert mb > ma  # the regrade is visible in the mean
+            # EVERY frame pair confirms -> the twin survives m13's
+            # all-frames (max per-frame min-Hamming) keep rule
+            assert bin(pa ^ pb).count("1") <= _M13_MAXHAM
