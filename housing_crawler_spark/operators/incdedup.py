@@ -105,10 +105,14 @@ def sketch_table(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-def band_col(simhash: F.Column, k: int) -> F.Column:
-    """15-bit band k of a (non-negative) 60-bit simhash."""
-    return F.shiftrightunsigned(simhash, k * BAND_BITS).bitwiseAND(
-        F.lit((1 << BAND_BITS) - 1)
+def band_col(simhash: F.Column, k: int, band_bits: int = BAND_BITS) -> F.Column:
+    """``band_bits``-wide band k of a simhash. ``shiftrightunsigned``
+    then mask is a pure bit-field read, so it agrees with DuckDB's
+    arithmetic ``>>`` + mask for every band that fits in 64 bits —
+    including bit 63 of a possibly-negative 64-bit phash (after the
+    mask, only the field's own bits survive either shift)."""
+    return F.shiftrightunsigned(simhash, k * band_bits).bitwiseAND(
+        F.lit((1 << band_bits) - 1)
     )
 
 
@@ -116,8 +120,15 @@ class IncrementalDeduper:
     """Cross-round near-dedup state machine over a ``SnapshotStore``.
 
     One instance per store; call :meth:`ingest` once per round with
-    that round's new documents (doc_id long, text string). Returns the
+    that round's new documents (doc_id long, text string), or
+    :meth:`ingest_sketches` with precomputed (doc_id, simhash) rows —
+    the image/audio path, where the sketch is a 64-bit perceptual hash
+    from the Arrow codec stage rather than a token SimHash. Returns the
     round's assignments (doc_id, rep_id, is_new_rep).
+
+    Sketch geometry (``sim_bits``/``band_bits``/``n_bands``/``tau``)
+    defaults to the 60-bit text scheme; pass 64/16/4 + a Hamming
+    threshold for phash64 state.
     """
 
     def __init__(
@@ -126,16 +137,24 @@ class IncrementalDeduper:
         store: SnapshotStore,
         n_buckets: int = 16,
         broadcast_max: int = 2_000_000,
+        band_bits: int = BAND_BITS,
+        n_bands: int = N_BANDS,
+        tau: int = TAU,
+        table: str = _TABLE,
     ):
         self.spark = spark
         self.store = store
         self.n_buckets = n_buckets
         self.broadcast_max = broadcast_max
+        self.band_bits = band_bits
+        self.n_bands = n_bands
+        self.tau = tau
+        self.table = table
         self._last_round: int | None = store.last_round()
 
     def _bucket(self, band_k: F.Column, band_val: F.Column) -> F.Column:
         return F.pmod(
-            band_val * N_BANDS + band_k, F.lit(self.n_buckets)
+            band_val * self.n_bands + band_k, F.lit(self.n_buckets)
         ).cast("int")
 
     def _state_sub(self, buckets: list[int]) -> DataFrame | None:
@@ -143,15 +162,21 @@ class IncrementalDeduper:
         if self._last_round is None:
             return None
         return self.store.read_snapshot_buckets(
-            self.spark, _TABLE, self._last_round, buckets
+            self.spark, self.table, self._last_round, buckets
         )
 
     def ingest(self, rnd: int, docs: DataFrame) -> DataFrame:
         """Process one round of new documents; persists updated state
         as round ``rnd`` and returns (doc_id, rep_id, is_new_rep)."""
+        shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        return self.ingest_sketches(
+            rnd, sketch_table(docs.repartition(shuffle, "doc_id"))
+        )
+
+    def ingest_sketches(self, rnd: int, sketches: DataFrame) -> DataFrame:
+        """Same round-ingest over precomputed (doc_id, simhash) rows."""
         spark, store = self.spark, self.store
-        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        sketch = sketch_table(docs.repartition(shuffle, "doc_id")).cache()
+        sketch = sketches.select("doc_id", "simhash").cache()
         bands = sketch.select(
             "doc_id",
             "simhash",
@@ -160,9 +185,11 @@ class IncrementalDeduper:
                     *[
                         F.struct(
                             F.lit(k).alias("band_k"),
-                            band_col(F.col("simhash"), k).alias("band_val"),
+                            band_col(
+                                F.col("simhash"), k, self.band_bits
+                            ).alias("band_val"),
                         )
-                        for k in range(N_BANDS)
+                        for k in range(self.n_bands)
                     ]
                 )
             ).alias("bk"),
@@ -185,6 +212,7 @@ class IncrementalDeduper:
         n_bands_rows, buckets = int(row["n"]), sorted(int(b) for b in row["bs"])
 
         ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sh2")))
+        tau = self.tau
         state_sub = self._state_sub(buckets) if buckets else None
         if state_sub is None:
             matched = None
@@ -205,7 +233,7 @@ class IncrementalDeduper:
                 # state side is STILL only the pruned candidate buckets
                 hits = st.join(probe, ["band_k", "band_val"])
             matched = (
-                hits.filter(ham <= TAU)
+                hits.filter(ham <= tau)
                 .groupBy("doc_id")
                 .agg(F.min("rep").alias("mrep"))
             )
@@ -221,7 +249,7 @@ class IncrementalDeduper:
         )
         edges = (
             a.join(b, ["band_k", "band_val"])
-            .filter((F.col("doc_id") > F.col("doc2")) & (ham <= TAU))
+            .filter((F.col("doc_id") > F.col("doc2")) & (ham <= tau))
             .select(F.col("doc_id").alias("hi"), F.col("doc2").alias("lo"))
             .distinct()
         )
@@ -270,7 +298,7 @@ class IncrementalDeduper:
             "bucket",
         )
         prev_info = (
-            store.snapshot_info(_TABLE, self._last_round)
+            store.snapshot_info(self.table, self._last_round)
             if self._last_round is not None
             else None
         )
@@ -291,7 +319,7 @@ class IncrementalDeduper:
         )
         info = store.write_bucketed_snapshot(
             df_dirty,
-            _TABLE,
+            self.table,
             rnd,
             "bucket",
             inherit=(prev_info or {}).get("manifest"),

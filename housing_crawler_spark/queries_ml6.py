@@ -676,28 +676,48 @@ def _d11_simhash_sql() -> str:
     )"""
 
 
-def _d11_bandmatch_sql(lhs: str, rhs: str) -> str:
-    """OR over the 4 band-equality tests between two simhash exprs."""
-    m = (1 << _D11_BAND_BITS) - 1
+def _d11_bandmatch_sql(
+    lhs: str,
+    rhs: str,
+    band_bits: int | None = None,
+    n_bands: int | None = None,
+) -> str:
+    """OR over the band-equality tests between two simhash exprs.
+    DuckDB's ``>>`` is arithmetic, but masking to the band width keeps
+    only the field's own bits, so it agrees with Spark's
+    shiftrightunsigned for every band that fits in 64 bits — including
+    the top band of a possibly-negative 64-bit phash."""
+    band_bits = _D11_BAND_BITS if band_bits is None else band_bits
+    n_bands = _D11_N_BANDS if n_bands is None else n_bands
+    m = (1 << band_bits) - 1
     return " OR ".join(
-        f"(({lhs} >> {k * _D11_BAND_BITS}) & {m})"
-        f" = (({rhs} >> {k * _D11_BAND_BITS}) & {m})"
-        for k in range(_D11_N_BANDS)
+        f"(({lhs} >> {k * band_bits}) & {m})"
+        f" = (({rhs} >> {k * band_bits}) & {m})"
+        for k in range(n_bands)
     )
 
 
-def _d11_round_ctes(r: int) -> str:
+def _d11_round_ctes(
+    r: int,
+    band_bits: int | None = None,
+    n_bands: int | None = None,
+    tau: int | None = None,
+) -> str:
     """One unrolled round: sketches → within-round components over
     band-nominated Hamming-confirmed edges (recursive reachability,
     min label) → probe vs accumulated state → rep rule
-    least(matched state reps, component min) → state append."""
+    least(matched state reps, component min) → state append.
+    Geometry defaults to d11's 60-bit text scheme; m15 passes the
+    64-bit phash geometry."""
+    tau = _D11_TAU if tau is None else tau
+    bm = lambda a, b: _d11_bandmatch_sql(a, b, band_bits, n_bands)  # noqa: E731
     probe = (
         f"""
     m{r} AS (
       SELECT b.doc_id, min(s.rep) AS mrep
       FROM b{r} b JOIN s{r - 1} s
-        ON ({_d11_bandmatch_sql("b.simhash", "s.simhash")})
-       AND bit_count(xor(b.simhash, s.simhash)) <= {_D11_TAU}
+        ON ({bm("b.simhash", "s.simhash")})
+       AND bit_count(xor(b.simhash, s.simhash)) <= {tau}
       GROUP BY b.doc_id
     ),"""
         if r > 0
@@ -714,8 +734,8 @@ def _d11_round_ctes(r: int) -> str:
       SELECT a.doc_id AS a, b.doc_id AS b
       FROM b{r} a JOIN b{r} b
         ON a.doc_id <> b.doc_id
-       AND ({_d11_bandmatch_sql("a.simhash", "b.simhash")})
-       AND bit_count(xor(a.simhash, b.simhash)) <= {_D11_TAU}
+       AND ({bm("a.simhash", "b.simhash")})
+       AND bit_count(xor(a.simhash, b.simhash)) <= {tau}
     ),
     reach{r} AS (
       SELECT doc_id, doc_id AS label FROM b{r}
@@ -784,6 +804,134 @@ def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(3):
         docs = corpus.filter(F.col("rnd") == r).select("doc_id", "text")
         assign = dd.ingest(r + 1, docs)
+        outs.append(
+            assign.select(
+                "doc_id", "rep_id", F.lit(r).cast("long").alias("rnd")
+            )
+        )
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out.select(
+        "doc_id",
+        "rep_id",
+        "rnd",
+        (F.col("doc_id") != F.col("rep_id")).cast("int").alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m15 — incremental cross-round IMAGE near-dup (incdedup × phash64)
+# ---------------------------------------------------------------------------
+# The crawl-side reality d11 models for text holds for images too: a
+# listing photo reappears round after round (re-posts, edited ads,
+# re-encodes), and batch near-dup (m3) over the whole corpus every
+# round is the O(|known|) rewrite the engine's known set exists to
+# avoid. m15 drives the SAME IncrementalDeduper state machine
+# (operators/incdedup.py — bucketed snapshot state, manifest-pruned
+# probe, star-component round closure, first-seen-wins reps) with the
+# 64-bit perceptual-hash geometry (4×16-bit bands, Hamming ≤ 6
+# confirm) over REAL phashes from the Arrow codec stage, via
+# ``ingest_sketches`` (no token SimHash — the sketch IS the phash).
+#
+# Stream construction (deterministic, materialized so the oracle reads
+# the exact rows the engine ingested — the m3 mat-table contract):
+# every image lands in round pmod(doc_id, 3); a hash-selected ~1/5
+# re-appear ONE ROUND LATER (mod 3 — a round-2 original's twin lands
+# in round 0, so the twin can be FIRST-seen and own the cluster, which
+# exercises the id-vs-time rep rule: reps follow ingest order, never
+# id order) with 0-2 deterministic bit flips (re-encode jitter; ≤ tau,
+# and ≥ 2 of 4 bands stay intact so banding always nominates).
+#
+# The DuckDB oracle unrolls the full 3-round semantics with the same
+# recursive-CTE machinery as d11, parameterized to the phash geometry.
+# NOT in the bench headline for d11's reason: 3 sequential stateful
+# ingests measure the local-mode job floor, not data throughput.
+
+_M15_MAT = mat_path("m15_imgstream")
+_M15_BAND_BITS = 16
+_M15_N_BANDS = 4
+_M15_TAU = 6
+_M15_TWIN_BIT = 1 << 62  # twin id = base id | bit 62 (base ids < 2^62)
+
+
+def _m15_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rnd, simhash) image-sketch stream with planted
+    next-round twins; built from the real Arrow phash stage."""
+    from .queries_multimodal import _image_table
+
+    imgs = _image_table(spark, sf_dir).select("image_id", "phash")
+    did = F.xxhash64("image_id").bitwiseAND(F.lit((1 << 62) - 1))
+    base = imgs.select(
+        did.alias("doc_id"),
+        F.pmod(did, F.lit(3)).cast("long").alias("rnd"),
+        F.col("phash").alias("simhash"),
+    )
+    # 0-2 bit flips, positions a pure function of the id; flips only
+    # need to be deterministic IN SPARK — the oracle reads the
+    # materialized result, never re-derives it
+    nflip = F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(3))
+    jittered = F.col("simhash")
+    for i in range(2):
+        jittered = jittered.bitwiseXOR(
+            F.when(nflip > i, F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pmod(xxhash64(doc_id, {10 + i}), 64) AS INT))"
+            )).otherwise(F.lit(0).cast("long"))
+        )
+    twins = base.filter(F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(5)) == 2).select(
+        F.col("doc_id").bitwiseOR(F.lit(_M15_TWIN_BIT)).alias("doc_id"),
+        F.pmod(F.col("rnd") + 1, F.lit(3)).cast("long").alias("rnd"),
+        jittered.alias("simhash"),
+    )
+    return base.unionByName(twins)
+
+
+_M15_SQL = f"""
+    WITH RECURSIVE
+    sk AS (
+      SELECT doc_id, rnd, simhash
+      FROM read_parquet('{_M15_MAT}/*.parquet')
+    ),
+    {",".join(_d11_round_ctes(r, _M15_BAND_BITS, _M15_N_BANDS, _M15_TAU) for r in range(3))}
+    SELECT doc_id, rep AS rep_id, rnd,
+           CASE WHEN doc_id <> rep THEN 1 ELSE 0 END AS is_dup
+    FROM (
+      SELECT doc_id, rep, CAST(0 AS BIGINT) AS rnd FROM a0
+      UNION ALL SELECT doc_id, rep, 1 FROM a1
+      UNION ALL SELECT doc_id, rep, 2 FROM a2
+    )
+"""
+
+
+@query("m15_incremental_image_dedup", oracle=_M15_SQL)
+def m15_incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three IncrementalDeduper.ingest_sketches rounds (fresh store,
+    phash64 geometry: 4×16-bit bands, Hamming ≤ 6) over the
+    materialized image-sketch stream; returns every image's final
+    (rep_id, round, is_dup). Twins land one round after (mod 3) their
+    originals with ≤ 2 flipped bits, so cross-round catches — including
+    twin-first wrap-arounds — are guaranteed."""
+    import shutil
+
+    from .operators.incdedup import IncrementalDeduper
+    from .storage.snapshots import SnapshotStore
+
+    _m15_stream(spark, sf_dir).write.mode("overwrite").parquet(_M15_MAT)
+    stream = spark.read.parquet(_M15_MAT)
+    store_dir = mat_path("m15_store")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    dd = IncrementalDeduper(
+        spark,
+        SnapshotStore(store_dir),
+        n_buckets=16,
+        band_bits=_M15_BAND_BITS,
+        n_bands=_M15_N_BANDS,
+        tau=_M15_TAU,
+        table="image_bands",
+    )
+    outs = []
+    for r in range(3):
+        sk = stream.filter(F.col("rnd") == r).select("doc_id", "simhash")
+        assign = dd.ingest_sketches(r + 1, sk)
         outs.append(
             assign.select(
                 "doc_id", "rep_id", F.lit(r).cast("long").alias("rnd")

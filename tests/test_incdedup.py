@@ -210,3 +210,44 @@ def test_incdedup_probe_is_bucket_pruned_and_unshuffled(
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_m15_twins_share_rep_and_reps_are_first_seen(spark, sf_smoke):
+    """m15 beyond the oracle mirror. Two invariants hold EXACTLY:
+    every doc's rep was ingested no later than the doc (first-seen-wins
+    follows ingest order, not id order — wrap-around twins land EARLIER
+    than their originals and own their clusters despite larger ids),
+    and every twin is a dup of SOMETHING (it has a ≤2-bit neighbor by
+    construction). Twin-pair co-clustering is NOT exact by design:
+    near-dup is not transitive and assignment is single-pass
+    min-over-matched-reps, so a base sitting near TWO earlier clusters
+    can be pulled away from its twin's (measured 142/151 at sf0.001) —
+    the test pins that the overwhelming majority co-cluster."""
+    from housing_crawler_spark.queries_ml6 import (
+        _M15_TWIN_BIT,
+        m15_incremental_image_dedup,
+    )
+
+    rows = m15_incremental_image_dedup(spark, sf_smoke).collect()
+    rep = {r.doc_id: r.rep_id for r in rows}
+    rnd = {r.doc_id: r.rnd for r in rows}
+    # rep ingested no later than any member — for EVERY row
+    for d, rp in rep.items():
+        assert rnd[rp] <= rnd[d], (d, rp)
+    twins = [d for d in rep if d & _M15_TWIN_BIT]
+    assert twins  # ~1/5 of images — never vacuous
+    same = wrapped = 0
+    for t in twins:
+        base = t ^ _M15_TWIN_BIT
+        # the twin pair is within Hamming 2, so NEITHER side can be a
+        # singleton cluster containing only itself... unless it is the
+        # rep of the shared cluster; at minimum one of the two is a dup
+        assert rep[t] != t or rep[base] != base, (t, base)
+        if rep[t] == rep[base]:
+            same += 1
+            if rnd[t] < rnd[base]:
+                wrapped += 1
+                # twin arrived first: the rep must NOT be the base
+                assert rep[t] != base
+    assert same >= 0.9 * len(twins), (same, len(twins))
+    assert wrapped  # the mod-3 wrap case actually occurred
