@@ -73,6 +73,10 @@ HEADLINE = [
     "m11_ocr_text_density",  # text-in-image pre-filter (Arrow decode)
     "m12_video_frame_sample",  # video container + stride sample + cuts
     "m13_video_near_dup",  # clip-level banded-phash near-dup
+    # round 6 (late): refine re-rank, CCNet sampling, basic image gates
+    "s10_ivfpq_rerank",  # IVFADC + exact re-rank of the ADC shortlist
+    "t16_perplexity_sampling",  # t13 LM scoring + bucket-aware sampling
+    "m16_image_basic_filters",  # DataComp basic-filter battery
     # d11_incremental_dedup is NOT in the headline: 3 sequential
     # stateful ingests (~25 Spark jobs of fixed cost) measure the
     # local-mode job floor, not data throughput — the driver gate

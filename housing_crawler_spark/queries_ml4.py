@@ -191,7 +191,11 @@ _S7_NPROBE = 2
 _S7_K = 8  # coarse cells (s4's setting)
 
 
-def _s7_oracle() -> str:
+def _ivfpq_ctes() -> str:
+    """The shared WITH body of the IVFADC oracles — training replay,
+    cells, codes, per-probe LUTs, candidate pruning, ADC scores — with
+    no final SELECT; s7 ranks the ADC scores, s10 re-ranks a wider ADC
+    shortlist by exact L2 (the FAISS 'refine' stage)."""
     pert = _PQ_PERT.format(i="i")
     return f"""
     WITH base AS (
@@ -246,7 +250,11 @@ def _s7_oracle() -> str:
       JOIN lut l ON l.probe_id = cd.probe_id
                AND l.j = x.j AND l.cid = x.code
       GROUP BY cd.probe_id, cd.neighbor_id
-    )
+    )"""
+
+
+def _s7_oracle() -> str:
+    return f"""{_ivfpq_ctes()}
     SELECT probe_id, neighbor_id,
            round(d_x1e6 / 1000000.0 + 1e-9, 4) AS approx_dist
     FROM (
@@ -260,7 +268,8 @@ def _s7_oracle() -> str:
 def ivfpq_parts(spark: SparkSession, sf_dir: str):
     """The composed pipeline's intermediate frames, exposed so tests
     can assert the scored-candidate bound and recall without
-    re-deriving the training. Returns (probes, cells, cand, topk)."""
+    re-deriving the training, and so s10 can re-rank the raw ADC
+    scores. Returns (probes, cells, cand, adc, topk)."""
     base = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
@@ -352,7 +361,7 @@ def ivfpq_parts(spark: SparkSession, sf_dir: str):
             ),
         )
     )
-    return probes, cells, cand, topk
+    return probes, cells, cand, adc, topk
 
 
 @query("s7_ivfpq_ann", oracle=_s7_oracle())
@@ -360,5 +369,94 @@ def s7_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF×PQ ANN (IVFADC): coarse k-means lists prune each probe to
     nprobe=2 cells, PQ codes + integer ADC tables score ONLY those
     candidates, top-3 per planted perturbed-twin probe."""
-    _, _, _, topk = ivfpq_parts(spark, sf_dir)
+    _, _, _, _, topk = ivfpq_parts(spark, sf_dir)
     return topk
+
+
+# ---------------------------------------------------------------------------
+# s10 — IVFADC + exact re-rank (the FAISS "refine" stage, IVFADC,R)
+# ---------------------------------------------------------------------------
+# PQ distances are biased estimators (quantization error), so the
+# published production shape re-ranks a WIDER ADC shortlist by exact
+# distance over the raw vectors before emitting top-k. The scale
+# contract is what matters: raw vectors are re-read for probes × C
+# shortlist rows only — never for the corpus, never for the full
+# candidate lists — so the refine cost is a broadcast-joined constant
+# per probe while the big joins stay in 8-byte-code space.
+
+_S10_C = 12  # ADC shortlist per probe handed to the exact re-rank
+
+
+def _s10_oracle() -> str:
+    return f"""{_ivfpq_ctes()},
+    short AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY d_x1e6, neighbor_id) AS rk
+        FROM adc
+      ) WHERE rk <= {_S10_C}
+    ),
+    ex AS (
+      SELECT s.probe_id, s.neighbor_id,
+             CAST(round({_l2_sql("p.e", "x.e")} * 1000000.0 + 1e-9, 0)
+                  AS BIGINT) AS ed_x1e6
+      FROM short s
+      JOIN probes p ON p.probe_id = s.probe_id
+      JOIN base x ON x.vec_id = s.neighbor_id
+    )
+    SELECT probe_id, neighbor_id,
+           round(ed_x1e6 / 1000000.0 + 1e-9, 4) AS exact_dist
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+        ORDER BY ed_x1e6, neighbor_id) AS rk
+      FROM ex
+    ) WHERE rk <= {_PQ_TOPK}
+    """
+
+
+@query("s10_ivfpq_rerank", oracle=_s10_oracle())
+def s10_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + refine: the ADC shortlist (C=12 per probe) is
+    re-ranked by EXACT L2 over raw vectors — same fold order as the
+    SQL twin, integer-scaled — and only then cut to top-3.
+    Raw vectors flow through a broadcast join of probes × C rows; the
+    corpus-sized joins upstream stay in code space (s7's plan)."""
+    probes, _, _, adc, _ = ivfpq_parts(spark, sf_dir)
+    w = Window.partitionBy("probe_id").orderBy("d_x1e6", "neighbor_id")
+    short = (
+        adc.select("probe_id", "neighbor_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _S10_C)
+        .select("probe_id", "neighbor_id")
+    )
+    base = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("xe"),
+    )
+    pe = probes.select("probe_id", F.col("e").alias("pe"))
+    ex = (
+        short.join(base, "neighbor_id")
+        .join(F.broadcast(pe), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                _pq_l2(F.col("pe"), F.col("xe")) * 1000000.0 + F.lit(1e-9), 0
+            )
+            .cast("long")
+            .alias("ed_x1e6"),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy("ed_x1e6", "neighbor_id")
+    return (
+        ex.select(
+            "probe_id", "neighbor_id", "ed_x1e6", F.row_number().over(w2).alias("rk")
+        )
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(F.col("ed_x1e6") / 1000000.0 + F.lit(1e-9), 4).alias(
+                "exact_dist"
+            ),
+        )
+    )

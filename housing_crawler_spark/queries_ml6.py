@@ -83,6 +83,7 @@ from .queries_ml import (
     _minhash_sql,
     md5int,
     norm_text,
+    tokens,
 )
 
 # ---------------------------------------------------------------------------
@@ -943,4 +944,120 @@ def m15_incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep_id",
         "rnd",
         (F.col("doc_id") != F.col("rep_id")).cast("int").alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t16 — CCNet bucket-aware sampling (Wenzek et al. 2020 §4.3: keep the
+# head, downsample the middle, mostly drop the tail)
+# ---------------------------------------------------------------------------
+# t13 ends where CCNet's SCORING ends; the pipeline's next step is the
+# sampling that actually shapes the training mix. Keep probability is
+# a pure function of (bucket, doc_id) — a salted md5 coin, the t10
+# mixture-sampling idiom — so the selection is deterministic,
+# engine-portable, and needs no global shuffle: ONE extra column
+# expression and a filter on top of t13's plan. The oracle wraps t13's
+# registered SQL verbatim (imported from the registry, never
+# duplicated), so the two stay in lockstep by construction.
+
+from .queries import REGISTRY as _REG  # noqa: E402
+from .queries_ml3 import t13_lm_quality_score  # noqa: E402  (registers t13)
+
+_T16_KEEP = {"head": 100, "middle": 50, "tail": 10}  # percent
+_T16_HASH = _md5int_sql("'t16:' || doc_id")
+_T16_COIN_SQL = f"({_T16_HASH} % 100)"
+
+
+@query(
+    "t16_perplexity_sampling",
+    oracle=f"""
+    WITH t13 AS ({_REG["t13_lm_quality_score"].oracle}),
+    gated AS (
+      SELECT doc_id, n_tokens, xent, bucket,
+             CASE bucket WHEN 'head' THEN {_T16_KEEP["head"]}
+                         WHEN 'middle' THEN {_T16_KEEP["middle"]}
+                         ELSE {_T16_KEEP["tail"]} END AS keep_pct,
+             {_T16_COIN_SQL} AS coin
+      FROM t13
+    )
+    SELECT doc_id, n_tokens, xent, bucket FROM gated WHERE coin < keep_pct
+    """,
+)
+def t16_perplexity_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail sampling over t13's LM-scored corpus:
+    keep 100% of head, 50% of middle, 10% of tail by a deterministic
+    per-doc md5 coin. Returns the SELECTED corpus rows (doc_id,
+    n_tokens, xent, bucket)."""
+    scored = t13_lm_quality_score(spark, sf_dir)
+    coin = F.pmod(
+        md5int(F.concat(F.lit("t16:"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    keep = (
+        F.when(F.col("bucket") == "head", _T16_KEEP["head"])
+        .when(F.col("bucket") == "middle", _T16_KEEP["middle"])
+        .otherwise(_T16_KEEP["tail"])
+    )
+    return scored.filter(coin < keep)
+
+
+# ---------------------------------------------------------------------------
+# m16 — DataComp-style image basic-filter battery (Gadre et al. 2023)
+# ---------------------------------------------------------------------------
+# The first gate of every published image-text curation pipeline
+# (LAION, DataComp "basic filtering"): resolution, aspect-ratio and
+# caption-shape rules — pure column expressions, embarrassingly
+# parallel, no shuffle at all. Verdicts are per-image WITH the failing
+# rule identified (a funnel needs attribution, not just a keep bit).
+# The image table is an Arrow codec stage, so the metadata columns are
+# materialized once (the m1/m11 mat-table contract) and the battery
+# runs in BOTH engines over the same rows. Aspect uses integer math
+# (greatest <= 2*least), never a float ratio, so the two engines can
+# not disagree at the boundary.
+
+_M16_MAT = mat_path("m16_imgmeta")
+_M16_MIN_DIM = 64
+_M16_MAX_ASPECT = 2  # greatest(w,h) <= 2 * least(w,h)
+_M16_MIN_CAP_CHARS = 55
+_M16_MIN_CAP_TOKS = 11
+
+_M16_CAP_TOKS_SQL = "len(string_split_regex(trim(lower(caption)), '\\s+'))"
+
+
+@query(
+    "m16_image_basic_filters",
+    oracle=f"""
+    SELECT image_id, fmt,
+           (least(w, h) >= {_M16_MIN_DIM}) AS pass_dims,
+           (greatest(w, h) <= {_M16_MAX_ASPECT} * least(w, h)) AS pass_aspect,
+           (length(caption) >= {_M16_MIN_CAP_CHARS}
+            AND {_M16_CAP_TOKS_SQL} >= {_M16_MIN_CAP_TOKS}) AS pass_caption,
+           (least(w, h) >= {_M16_MIN_DIM}
+            AND greatest(w, h) <= {_M16_MAX_ASPECT} * least(w, h)
+            AND length(caption) >= {_M16_MIN_CAP_CHARS}
+            AND {_M16_CAP_TOKS_SQL} >= {_M16_MIN_CAP_TOKS}) AS keep
+    FROM read_parquet('{_M16_MAT}/*.parquet')
+    """,
+)
+def m16_image_basic_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image basic-filter verdicts: min-dimension, aspect-ratio and
+    caption-shape gates with per-rule attribution + the combined keep
+    bit. Metadata-only — the image bytes never leave the codec stage."""
+    from .queries_multimodal import _image_table
+
+    meta = _image_table(spark, sf_dir).select("image_id", "w", "h", "fmt", "caption")
+    meta.write.mode("overwrite").parquet(_M16_MAT)
+    t = spark.read.parquet(_M16_MAT)
+    pass_dims = F.least("w", "h") >= _M16_MIN_DIM
+    pass_aspect = F.greatest("w", "h") <= _M16_MAX_ASPECT * F.least("w", "h")
+    pass_caption = (F.length("caption") >= _M16_MIN_CAP_CHARS) & (
+        F.size(tokens(F.col("caption"))) >= _M16_MIN_CAP_TOKS
+    )
+    return t.select(
+        "image_id",
+        "fmt",
+        pass_dims.alias("pass_dims"),
+        pass_aspect.alias("pass_aspect"),
+        pass_caption.alias("pass_caption"),
+        (pass_dims & pass_aspect & pass_caption).alias("keep"),
     )

@@ -90,7 +90,11 @@ def test_no_cartesian_products_anywhere(spark, sf_smoke):
                      # s8/s9's SemDeDup clustering is the identical
                      # K=8 trajectory — bounded by K, not data
                      "s7_ivfpq_ann", "s8_semdedup",
-                     "s9_cluster_balanced_sample"}
+                     "s9_cluster_balanced_sample",
+                     # s10 re-ranks s7's shortlist: same centroid-dim
+                     # broadcast upstream; the refine join itself is an
+                     # equi-join on (probe_id, neighbor_id)
+                     "s10_ivfpq_rerank"}
     for name, qd in REGISTRY.items():
         if qd.oracle is None or name in allowed_cross:
             continue
@@ -445,7 +449,7 @@ def test_s7_ivfpq_twin_recall_and_candidate_bound(spark, sf_correct):
         corpus, which is what the exhaustive s6 would score."""
     from housing_crawler_spark.queries_ml4 import _S7_NPROBE, ivfpq_parts
 
-    probes, cells, cand, topk = ivfpq_parts(spark, sf_correct)
+    probes, cells, cand, _adc, topk = ivfpq_parts(spark, sf_correct)
     n_probes = probes.count()
     n_corpus = cells.count()
     assert n_probes > 0
@@ -486,3 +490,30 @@ def test_s7_matches_s6_on_surviving_candidates(spark, sf_smoke):
         k = (r.probe_id, r.neighbor_id)
         if k in s6:  # s6 keeps top-3 of ALL codes; overlap must agree
             assert s6[k] == r.approx_dist, k
+
+
+def test_s10_rerank_dominates_adc_ranking(spark, sf_correct):
+    """The refine stage's contract: s10's winner per probe is the
+    planted twin, and its exact_dist equals the TRUE L2² of the
+    deterministic perturbation (closed form from _PQ_PERT) — i.e. the
+    re-rank output is the exact metric, not a quantized estimate
+    (s7's ADC distances carry codebook error and would fail the
+    1e-3 check)."""
+    from pyspark.sql import functions as F
+
+    from housing_crawler_spark.queries_ml3 import _PQ_D, _PQ_M
+    from housing_crawler_spark.queries_ml4 import s10_ivfpq_rerank
+
+    out = s10_ivfpq_rerank(spark, sf_correct).collect()
+    best = {}
+    for r in out:
+        cur = best.get(r.probe_id)
+        if cur is None or (r.exact_dist, r.neighbor_id) < cur:
+            best[r.probe_id] = (r.exact_dist, r.neighbor_id)
+    assert best
+    # closed-form perturbation distance: sum over dims of
+    # (0.02 * (((i - 1) % 7) - 3))^2, i = 1..64  (queries_ml3._PQ_PERT)
+    true_d = sum((0.02 * (((i - 1) % 7) - 3)) ** 2 for i in range(1, _PQ_M * _PQ_D + 1))
+    for p, (d, n) in best.items():
+        assert n == p - 1000000, (p, n)
+        assert abs(d - true_d) < 1e-3, (p, d, true_d)
