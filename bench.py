@@ -77,6 +77,7 @@ HEADLINE = [
     "s10_ivfpq_rerank",  # IVFADC + exact re-rank of the ADC shortlist
     "t16_perplexity_sampling",  # t13 LM scoring + bucket-aware sampling
     "m16_image_basic_filters",  # DataComp basic-filter battery
+    "m17_image_corpus_prep",  # end-to-end image funnel, one decode pass
     # d11_incremental_dedup is NOT in the headline: 3 sequential
     # stateful ingests (~25 Spark jobs of fixed cost) measure the
     # local-mode job floor, not data throughput — the driver gate

@@ -1061,3 +1061,187 @@ def m16_image_basic_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_caption.alias("pass_caption"),
         (pass_dims & pass_aspect & pass_caption).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m17 — the image corpus-prep funnel (t5's shape on the image axis)
+# ---------------------------------------------------------------------------
+# t5 chains the TEXT curation family into one pipeline; m17 is its
+# image twin, the composition every published image-curation run
+# executes end-to-end: DataComp basic gates (m16's rules) → OCR
+# text-density gate (m11's detector) → exposure/contrast gate (m10's
+# jittered stats) → exact-phash keep-one dedup (m9's LAION rule,
+# first-seen keeper) — with FIRST-DROP attribution per image, because
+# a funnel is only actionable when each loss is attributed to the
+# stage that caused it.
+#
+# Scale shape: ONE Arrow decode pass computes every pixel feature
+# (gradient density + jittered exposure stats) — never one pass per
+# gate — and plants the ~1/8 re-post copies IN-STAGE (no second codec
+# pass, no fan-out recompute of the mapInPandas source). Everything
+# after the materialized feature table is pure column exprs plus one
+# phash-keyed aggregation and an equi-join back: no windows over
+# unbounded frames, no self-joins. Near-dup (vs exact-dup) image
+# clustering stays m3/m15's job — the funnel uses the exact-hash rule
+# production pipelines apply at this stage (LAION/DataComp dedup by
+# hash/URL), which is linear by construction.
+
+from .queries_ml3 import _M10_FLAT, _M10_OVER, _M10_UNDER  # noqa: E402
+
+_M17_MAT = mat_path("m17_imgprep")
+_M17_PLANT_MOD = 8  # ~1/8 of images re-posted under a derived id
+# ~1/16 of images also get a planted 128×128 "screenshot" sibling
+# (stride-1 checkerboard → every pixel is a text-edge transition).
+# The synth corpus's organically text-dense images are all NARROW
+# high-frequency sine patterns (w 16-39), so every one of them falls
+# to the min-dim=64 basic gate first and the OCR stage would be
+# vacuous; the screenshot plant is the dedup-plant's twin — it gives
+# the OCR gate rows that legitimately reach it (pass basic, fail OCR).
+_M17_SCR_MOD = 16
+
+
+def _m17_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Arrow pass over the image table: decode once, emit basic
+    metadata + OCR text-row density (m11's kernel) + phash-jittered
+    exposure stats (m10's kernel) per image, plus the planted re-post
+    twin rows (same pixels → same features, derived id) and planted
+    screenshot siblings (synthetic text-dense pixels, same kernels)."""
+    from .queries_multimodal import _image_table
+
+    imgs = _image_table(spark, sf_dir)
+
+    def feat_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from .functions.hashing import xxhash64
+        from .operators.images import decode, phash64
+
+        cols = (
+            "image_id", "w", "h", "caption", "phash",
+            "text_frac_x1000", "mean_x100", "std_x100",
+        )
+
+        def feats(img, ph):
+            """The shared pixel kernels: m11's text-row density + m10's
+            phash-jittered exposure stats — planted rows go through the
+            EXACT same code path as decoded ones."""
+            grad = np.abs(np.diff(img.astype(np.int16), axis=1))
+            texty = (grad > _M11_GRAD).mean(axis=1) > _M11_ROW_FRAC
+            tf = int(round(1000.0 * float(texty.mean())))
+            case = int(ph) % 5  # python %: non-negative (m10's rule)
+            a, b = {0: (0.2, 0.0), 1: (0.3, 200.0), 2: (0.05, 120.0)}.get(
+                case, (1.0, 0.0)
+            )
+            x = np.clip(
+                np.rint(a * img.astype(np.float64) + b), 0, 255
+            ).astype(np.uint8)
+            return tf, int(round(float(x.mean()) * 100)), int(round(float(x.std()) * 100))
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+
+            def emit(iid, w, h, cap, ph, tf, mx, sx):
+                for k, v in zip(cols, (iid, w, h, cap, ph, tf, mx, sx)):
+                    out[k].append(v)
+
+            for iid, buf, cap, ph in zip(
+                pdf["image_id"], pdf["bytes"], pdf["caption"], pdf["phash"]
+            ):
+                img, _ = decode(bytes(buf))
+                tf, mx, sx = feats(img, int(ph))
+                emit(iid, int(img.shape[1]), int(img.shape[0]), cap, int(ph), tf, mx, sx)
+                if xxhash64(f"re:{iid}") % _M17_PLANT_MOD == 5:
+                    # byte-identical re-post: same pixels, derived id.
+                    # iid is a strict prefix of the twin id, so the
+                    # ORIGINAL is always the lexicographic keeper.
+                    emit(f"{iid}~re", int(img.shape[1]), int(img.shape[0]),
+                         cap, int(ph), tf, mx, sx)
+                if xxhash64(f"scr:{iid}") % _M17_SCR_MOD == 3:
+                    # screenshot sibling: 128×128 checkerboard columns,
+                    # per-source contrast so pixels (and phash) vary.
+                    # Adjacent-column diff = 255-2·lo ∈ [95,195] > the
+                    # 24-grey text-edge threshold → text_frac = 1000.
+                    lo = 30 + xxhash64(f"scrv:{iid}") % 40
+                    col = np.where(
+                        np.arange(128) % 2 == 0, lo, 255 - lo
+                    ).astype(np.uint8)
+                    scr = np.tile(col, (128, 1))
+                    sph = phash64(scr)
+                    tf2, mx2, sx2 = feats(scr, int(sph))
+                    emit(f"{iid}~scr", 128, 128, cap, int(sph), tf2, mx2, sx2)
+            yield pd.DataFrame(out)
+
+    return imgs.mapInPandas(
+        feat_batches,
+        "image_id string, w int, h int, caption string, phash long, "
+        "text_frac_x1000 long, mean_x100 long, std_x100 long",
+    )
+
+
+@query(
+    "m17_image_corpus_prep",
+    oracle=f"""
+    WITH t AS (SELECT * FROM read_parquet('{_M17_MAT}/*.parquet')),
+    gated AS (
+      SELECT image_id, phash,
+             CASE WHEN NOT (least(w, h) >= {_M16_MIN_DIM}
+                            AND greatest(w, h) <= {_M16_MAX_ASPECT} * least(w, h)
+                            AND length(caption) >= {_M16_MIN_CAP_CHARS}
+                            AND {_M16_CAP_TOKS_SQL} >= {_M16_MIN_CAP_TOKS})
+                    THEN 'basic'
+                  WHEN text_frac_x1000 > {_M11_MAX_X1000} THEN 'ocr'
+                  WHEN mean_x100 < {_M10_UNDER} OR mean_x100 > {_M10_OVER}
+                       OR std_x100 < {_M10_FLAT} THEN 'exposure'
+             END AS early
+      FROM t
+    ),
+    reps AS (
+      SELECT phash, min(image_id) AS keeper
+      FROM gated WHERE early IS NULL GROUP BY phash
+    )
+    SELECT g.image_id,
+           coalesce(g.early,
+                    CASE WHEN g.image_id <> r.keeper THEN 'duplicate'
+                         ELSE 'kept' END) AS stage
+    FROM gated g LEFT JOIN reps r USING (phash)
+    """,
+)
+def m17_image_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image funnel verdict: 'basic' | 'ocr' | 'exposure' |
+    'duplicate' | 'kept', first drop wins. Gates reuse m16/m11/m10's
+    exact thresholds; dedup is exact-phash keep-one with the
+    first-seen (min image_id) keeper."""
+    _m17_features(spark, sf_dir).write.mode("overwrite").parquet(_M17_MAT)
+    t = spark.read.parquet(_M17_MAT)
+    pass_basic = (
+        (F.least("w", "h") >= _M16_MIN_DIM)
+        & (F.greatest("w", "h") <= _M16_MAX_ASPECT * F.least("w", "h"))
+        & (F.length("caption") >= _M16_MIN_CAP_CHARS)
+        & (F.size(tokens(F.col("caption"))) >= _M16_MIN_CAP_TOKS)
+    )
+    early = (
+        F.when(~pass_basic, "basic")
+        .when(F.col("text_frac_x1000") > _M11_MAX_X1000, "ocr")
+        .when(
+            (F.col("mean_x100") < _M10_UNDER)
+            | (F.col("mean_x100") > _M10_OVER)
+            | (F.col("std_x100") < _M10_FLAT),
+            "exposure",
+        )
+    )
+    gated = t.select("image_id", "phash", early.alias("early"))
+    reps = (
+        gated.filter(F.col("early").isNull())
+        .groupBy("phash")
+        .agg(F.min("image_id").alias("keeper"))
+    )
+    return gated.join(reps, "phash", "left").select(
+        "image_id",
+        F.coalesce(
+            "early",
+            F.when(F.col("image_id") != F.col("keeper"), "duplicate").otherwise(
+                "kept"
+            ),
+        ).alias("stage"),
+    )

@@ -251,3 +251,38 @@ def test_m15_twins_share_rep_and_reps_are_first_seen(spark, sf_smoke):
                 assert rep[t] != base
     assert same >= 0.9 * len(twins), (same, len(twins))
     assert wrapped  # the mod-3 wrap case actually occurred
+
+
+def test_m17_funnel_attribution(spark, sf_smoke):
+    """m17 beyond the oracle mirror: every stage label actually occurs
+    (no vacuous gate), every planted re-post that reaches the dedup
+    stage loses to its prefix original (never the other way), and a
+    twin pair always shares its early-drop verdict (identical pixels →
+    identical features)."""
+    from housing_crawler_spark.queries_ml6 import m17_image_corpus_prep
+
+    rows = m17_image_corpus_prep(spark, sf_smoke).collect()
+    stage = {r.image_id: r.stage for r in rows}
+    seen_stages = set(stage.values())
+    assert seen_stages == {"basic", "ocr", "exposure", "duplicate", "kept"}, (
+        seen_stages
+    )
+    scrs = [i for i in stage if i.endswith("~scr")]
+    assert scrs
+    for s in scrs:
+        # a screenshot either falls to its caption at the basic gate or
+        # is caught by the OCR gate — it can never reach exposure/dedup
+        assert stage[s] in ("basic", "ocr"), (s, stage[s])
+    assert any(stage[s] == "ocr" for s in scrs)
+    twins = [i for i in stage if i.endswith("~re")]
+    assert twins
+    for t in twins:
+        base = t[: -len("~re")]
+        s_t, s_b = stage[t], stage[base]
+        if s_t in ("basic", "ocr", "exposure") or s_b in (
+            "basic", "ocr", "exposure"
+        ):
+            assert s_t == s_b, (t, s_t, s_b)  # identical features
+        else:
+            # both reached dedup: the original is the keeper
+            assert s_b == "kept" and s_t == "duplicate", (t, s_t, s_b)
