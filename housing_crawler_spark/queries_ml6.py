@@ -1245,3 +1245,79 @@ def m17_image_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("stage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j11 — generic bucketed interval join (campaign attribution)
+# ---------------------------------------------------------------------------
+# The one join shape the j-family still lacked: point-in-[lo,hi] theta
+# join. Spark plans a naive BETWEEN join as BroadcastNestedLoopJoin
+# (O(n·m)); operators/rangejoin.py rewrites it as a bucketed hash
+# equi-join (each point meets each qualifying interval in exactly one
+# bucket — no dedup). The campaign dimension is synthesized with
+# integer-only arithmetic so both engines derive bit-identical bounds.
+
+_J11_K = 200  # campaigns
+_J11_BASE = 1704067200  # 2024-01-01 00:00:00 UTC (events live in Jan 2024)
+_J11_OFF_MOD = 40000  # start offset: minutes into the event month (~27.8 d)
+_J11_W_MOD = 716  # width: 5..720 minutes
+
+
+@query(
+    "j11_interval_join",
+    oracle=f"""
+    WITH iv AS (
+      SELECT i AS campaign_id,
+             {_J11_BASE} + ((i * 2654435761) % {_J11_OFF_MOD}) * 60 AS lo_s,
+             {_J11_BASE} + ((i * 2654435761) % {_J11_OFF_MOD}) * 60
+               + (5 + (i * 40503) % {_J11_W_MOD}) * 60 AS hi_s
+      FROM range({_J11_K}) AS t(i)
+    ),
+    p AS (
+      SELECT epoch_us(ts) // 1000000 AS tse, user_id, value FROM events
+    )
+    SELECT iv.campaign_id,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT p.user_id)::BIGINT AS n_users,
+           round(sum(p.value) + 1e-9, 4) + 0.0 AS sum_value
+    FROM p JOIN iv ON p.tse BETWEEN iv.lo_s AND iv.hi_s
+    GROUP BY iv.campaign_id
+    """,
+)
+def j11_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events attributed to overlapping campaign windows via the
+    bucketed interval join (operators/rangejoin.py): 4-hour buckets
+    (campaign widths cap at 12 h → ≤4 replicas per interval), the
+    200-row campaign dim broadcast so the event side never shuffles
+    before the final per-campaign aggregation."""
+    from .operators.rangejoin import interval_join
+
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("tse"),
+        "user_id",
+        "value",
+    )
+    i = F.col("id")
+    iv = spark.range(_J11_K).select(
+        i.alias("campaign_id"),
+        (_J11_BASE + (i * 2654435761 % _J11_OFF_MOD) * 60).alias("lo_s"),
+        (
+            _J11_BASE
+            + (i * 2654435761 % _J11_OFF_MOD) * 60
+            + (5 + i * 40503 % _J11_W_MOD) * 60
+        ).alias("hi_s"),
+    )
+    j = interval_join(
+        ev,
+        iv,
+        point_key="tse",
+        lo="lo_s",
+        hi="hi_s",
+        bucket_width=14400,
+        broadcast_intervals=True,
+    )
+    return j.groupBy("campaign_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        (F.round(F.sum("value") + F.lit(1e-9), 4) + F.lit(0.0)).alias("sum_value"),
+    )
