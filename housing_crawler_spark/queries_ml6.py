@@ -74,15 +74,13 @@ from .queries import load, query, r4
 from .queries_ml import (
     _DUPED_SQL,
     _GH_SQL,
-    _N_MINHASH,
     _TOKENS_SQL,
     _duped,
     _gram_hashes,
     _md5int_sql,
-    _minhash_col,
-    _minhash_sql,
     md5int,
     norm_text,
+    perm_consts,
     tokens,
 )
 
@@ -92,6 +90,29 @@ from .queries_ml import (
 
 _J10_TRAIN_BUCKETS = 8  # of 10: 80/20 split
 _J10_JMIN = 0.8  # exact-Jaccard confirm threshold (planted twins = 1.0)
+
+# Banding: 2 bands × 6 rows over 12 xor-mix permutations of the SAME
+# gram-hash array (d2/d3's one-md5-pass scheme, widened). d2/d3's
+# 2-bands × 2-rows curve collides at P=J² per band — over char-3-gram
+# sets, where ORDINARY same-language docs sit at J≈0.4-0.6, that
+# admitted 1.49M of the 4.84M possible cross-split pairs at sf0.1
+# (measured round 6), i.e. the candidate set was quadratic in the
+# corpus. r=6 sharpens the curve to P=J⁶: 78k candidates on the same
+# corpus (19×), while J=1 planted twins still collide with P=1. The
+# trade is documented LSH recall at the threshold: a J=0.8 organic
+# pair survives with 1-(1-0.8⁶)² ≈ 0.46 (vs 0.87 at r=2).
+_J10_N_MH = 12
+_J10_R = 6  # rows per band
+_J10_C = perm_consts(_J10_N_MH)
+
+
+def _j10_mh_col(gh: F.Column, k: int) -> F.Column:
+    c = _J10_C[k]
+    return F.array_min(F.transform(gh, lambda h: h.bitwiseXOR(F.lit(c))))
+
+
+def _j10_mh_sql(k: int) -> str:
+    return f"list_aggregate(list_transform(gh, h -> xor(h, {_J10_C[k]})), 'min')"
 
 # the split must be a pure function of the doc id so both engines (and
 # any re-run) assign identically: bucket = md5("split:" || doc_id) % 10
@@ -109,24 +130,29 @@ def _j10_split_col() -> F.Column:
     )
 
 
+def _j10_band_sql(b: int) -> str:
+    """AND-of-equalities join predicate for band ``b`` (6 rows)."""
+    lo = b * _J10_R
+    return " AND ".join(f"t.mh_{k} = v.mh_{k}" for k in range(lo, lo + _J10_R))
+
+
 @query(
     "j10_split_leakage_audit",
     oracle=f"""
     WITH base AS (
       SELECT doc_id, gh, {_J10_SPLIT_SQL} AS is_train,
-             {", ".join(f"{_minhash_sql(k)} AS mh_{k}" for k in range(_N_MINHASH))}
+             {", ".join(f"{_j10_mh_sql(k)} AS mh_{k}" for k in range(_J10_N_MH))}
       FROM (SELECT doc_id, {_GH_SQL} AS gh FROM ({_DUPED_SQL}))
     ),
     tr AS (SELECT * FROM base WHERE is_train),
     va AS (SELECT * FROM base WHERE NOT is_train),
     cand AS (
       SELECT DISTINCT train_doc, val_doc FROM (
-        SELECT t.doc_id AS train_doc, v.doc_id AS val_doc,
-               t.gh AS gt, v.gh AS gv
-        FROM tr t JOIN va v ON t.mh_0 = v.mh_0 AND t.mh_1 = v.mh_1
+        SELECT t.doc_id AS train_doc, v.doc_id AS val_doc
+        FROM tr t JOIN va v ON {_j10_band_sql(0)}
         UNION ALL
-        SELECT t.doc_id, v.doc_id, t.gh, v.gh
-        FROM tr t JOIN va v ON t.mh_2 = v.mh_2 AND t.mh_3 = v.mh_3
+        SELECT t.doc_id, v.doc_id
+        FROM tr t JOIN va v ON {_j10_band_sql(1)}
       )
     ),
     jac AS (
@@ -170,28 +196,28 @@ def j10_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gh",
             "is_train",
             *[
-                _minhash_col(F.col("gh"), k).alias(f"mh_{k}")
-                for k in range(_N_MINHASH)
+                _j10_mh_col(F.col("gh"), k).alias(f"mh_{k}")
+                for k in range(_J10_N_MH)
             ],
         )
         .cache()
     )
-    sigs = base.select("doc_id", "is_train", *[f"mh_{k}" for k in range(_N_MINHASH)])
+    sigs = base.select("doc_id", "is_train", *[f"mh_{k}" for k in range(_J10_N_MH)])
     tr = sigs.filter(F.col("is_train")).alias("t")
     va = sigs.filter(~F.col("is_train")).alias("v")
     pair_cols = [
         F.col("t.doc_id").alias("train_doc"),
         F.col("v.doc_id").alias("val_doc"),
     ]
-    p1 = tr.join(
-        va,
-        (F.col("t.mh_0") == F.col("v.mh_0")) & (F.col("t.mh_1") == F.col("v.mh_1")),
-    ).select(*pair_cols)
-    p2 = tr.join(
-        va,
-        (F.col("t.mh_2") == F.col("v.mh_2")) & (F.col("t.mh_3") == F.col("v.mh_3")),
-    ).select(*pair_cols)
-    cand = p1.unionByName(p2).distinct()
+
+    def band_pairs(b: int) -> DataFrame:
+        lo = b * _J10_R
+        pred = F.lit(True)
+        for k in range(lo, lo + _J10_R):
+            pred = pred & (F.col(f"t.mh_{k}") == F.col(f"v.mh_{k}"))
+        return tr.join(va, pred).select(*pair_cols)
+
+    cand = band_pairs(0).unionByName(band_pairs(1)).distinct()
     gt = base.select(F.col("doc_id").alias("train_doc"), F.col("gh").alias("gt"))
     gv = base.select(F.col("doc_id").alias("val_doc"), F.col("gh").alias("gv"))
     inter = F.size(F.array_intersect(F.col("gt"), F.col("gv")))
