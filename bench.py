@@ -78,6 +78,10 @@ HEADLINE = [
     "t16_perplexity_sampling",  # t13 LM scoring + bucket-aware sampling
     "m16_image_basic_filters",  # DataComp basic-filter battery
     "m17_image_corpus_prep",  # end-to-end image funnel, one decode pass
+    # round 6 (late): crawl-tier scheduling family + watermark gate
+    "c4_dust_param_rules",  # DUST strippable-parameter mining
+    "c5_host_pagerank",  # 3 exact-integer power iterations
+    "m18_watermark_filter",  # LAION watermark gate (corner variance)
     # d11_incremental_dedup is NOT in the headline: 3 sequential
     # stateful ingests (~25 Spark jobs of fixed cost) measure the
     # local-mode job floor, not data throughput — the driver gate
