@@ -82,6 +82,12 @@ HEADLINE = [
     "c4_dust_param_rules",  # DUST strippable-parameter mining
     "c5_host_pagerank",  # 3 exact-integer power iterations
     "m18_watermark_filter",  # LAION watermark gate (corner variance)
+    # c7_url_alias_components is NOT in the headline for the same
+    # reason as d11 below: star_components' ~6-8 supersteps each pay
+    # the local-mode job floor (localCheckpoint per round), measuring
+    # fixed cost, not data throughput — the driver gate checks its
+    # correctness at sf0.01 (t7 keeps a components entry in the
+    # headline via the small doc graph).
     # d11_incremental_dedup is NOT in the headline: 3 sequential
     # stateful ingests (~25 Spark jobs of fixed cost) measure the
     # local-mode job floor, not data throughput — the driver gate

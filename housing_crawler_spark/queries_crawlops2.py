@@ -1,6 +1,6 @@
 """Crawl-tier scheduling/dedup operators, family 2 (round 6).
 
-Four published web-crawl shapes the reference executes implicitly (it
+Published web-crawl shapes the reference executes implicitly (it
 re-crawls the same portal forever, crawl_wggesucht.py:186-189,545-548)
 but never as explicit queryable operators — at 10^10-URL frontier
 scale each becomes a first-class batch job:
@@ -28,6 +28,12 @@ scale each becomes a first-class batch job:
   log → hot/warm/cold tier → revisit interval. Tier boundaries use
   integer cross-multiplication (n_changes*4 >= n_obs), never a float
   ratio, so the engines cannot disagree at the boundary.
+
+- **c7_url_alias_components** — the composition step after c4's rule
+  mining: fp-confirmed alias PAIRS (param-strip + host mirrors) form a
+  graph whose transitive closure is the alias set; canonical-URL
+  election runs on the d8 machinery (operators/graph.star_components)
+  against the same recursive-CTE closure oracle d8/t7 use.
 
 - **m18_watermark_filter** — the LAION-5B watermark gate (Schuhmann
   et al. 2022) as a deterministic stand-in detector: a flat overlay
@@ -328,6 +334,128 @@ def c6_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(hot, "hot").when(warm, "warm").otherwise("cold").alias("tier"),
         F.when(hot, 1).when(warm, 4).otherwise(16).alias("revisit_every"),
     )
+
+
+# ---------------------------------------------------------------------------
+# c7 — URL-alias components: DUST edges × mirror edges → canonical URL
+# ---------------------------------------------------------------------------
+# The composition step after rule mining: individual fp-confirmed alias
+# PAIRS (param-strip on the main host, host mirrors, param-strip on the
+# mirror) form an undirected graph whose transitive closure is the real
+# alias set — a mirror's ?utm variant reaches the main bare URL only
+# through a 2-hop chain, which is why a crawler needs components, not
+# pairs. Canonical = lexicographic min of the component (the main bare
+# URL by construction). Runs on the d8 machinery (star_components,
+# O(log n) rounds); the oracle is the same recursive-CTE min-label
+# closure d8/t7 use, over VARCHAR node ids.
+
+_C7_MIRROR_MOD = 2  # pages with k % 2 = 0 also exist on mirror host 'm'+host
+
+
+def _c7_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fp-confirmed alias edges (u, v): param-strip edges on the main
+    host (only content-neutral params survive the fp check), the
+    mirror's bare page to the main bare page, and the mirror's utm
+    variant to the mirror's bare page."""
+    k = F.col("p_partkey")
+    host = F.concat(F.lit("h"), F.lpad((k % _C4_HOSTS).cast("string"), 2, "0"))
+    log = load(spark, sf_dir, "part").select(
+        k.alias("k"),
+        F.concat(F.lit("https://"), host, F.lit("/item/"), k.cast("string")).alias(
+            "burl"
+        ),
+        F.concat(
+            F.lit("https://m"), host, F.lit("/item/"), k.cast("string")
+        ).alias("murl"),
+        md5int(F.concat(F.lit("c:"), k.cast("string"))).alias("fp"),
+    )
+    edges = []
+    for param, mod, neutral in _C4_PARAMS:
+        v = log if mod == 1 else log.filter(F.col("k") % mod == 0)
+        if not neutral:
+            # content-relevant params keep the fp confirm — it never
+            # passes, which is the point (and the oracle's closed form)
+            fp_v = md5int(
+                F.concat(F.lit("c:"), F.col("k").cast("string"), F.lit(f":{param}"))
+            )
+            v = v.filter(fp_v == F.col("fp"))
+        edges.append(
+            v.select(
+                F.concat(F.col("burl"), F.lit(f"?{param}=1")).alias("u"),
+                F.col("burl").alias("v"),
+            )
+        )
+    mirrored = log.filter(F.col("k") % _C7_MIRROR_MOD == 0)
+    edges.append(mirrored.select(F.col("murl").alias("u"), F.col("burl").alias("v")))
+    edges.append(
+        mirrored.select(
+            F.concat(F.col("murl"), F.lit("?utm_source=1")).alias("u"),
+            F.col("murl").alias("v"),
+        )
+    )
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+def _c7_edges_sql() -> str:
+    arms = []
+    for param, mod, neutral in _C4_PARAMS:
+        if neutral:
+            cond = "" if mod == 1 else f"WHERE k % {mod} = 0"
+            arms.append(
+                f"SELECT burl || '?{param}=1' AS u, burl AS v FROM log {cond}"
+            )
+        # content-relevant params never fp-match: no edge arm at all —
+        # the Spark side keeps the filter to PROVE it (both reduce to
+        # the same edge set; the oracle states the closed form)
+    arms.append(
+        f"SELECT murl AS u, burl AS v FROM log WHERE k % {_C7_MIRROR_MOD} = 0"
+    )
+    arms.append(
+        f"SELECT murl || '?utm_source=1' AS u, murl AS v FROM log "
+        f"WHERE k % {_C7_MIRROR_MOD} = 0"
+    )
+    return " UNION ALL ".join(arms)
+
+
+@query(
+    "c7_url_alias_components",
+    oracle=f"""
+    WITH RECURSIVE log AS (
+      SELECT p_partkey AS k,
+             'https://h' || lpad((p_partkey % {_C4_HOSTS})::VARCHAR, 2, '0')
+               || '/item/' || p_partkey AS burl,
+             'https://mh' || lpad((p_partkey % {_C4_HOSTS})::VARCHAR, 2, '0')
+               || '/item/' || p_partkey AS murl
+      FROM part
+    ),
+    edges AS ({_c7_edges_sql()}),
+    nodes AS (
+      SELECT DISTINCT url FROM (
+        SELECT u AS url FROM edges UNION ALL SELECT v FROM edges
+      )
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+    reach AS (
+      SELECT url, url AS label FROM nodes
+      UNION
+      SELECT e.u AS url, r.label FROM reach r JOIN sym e ON e.v = r.url
+    )
+    SELECT url, min(label) AS canonical_url FROM reach GROUP BY url
+    """,
+)
+def c7_url_alias_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the fp-confirmed alias pairs: every URL in
+    the alias graph labeled with its component's lexicographic-min
+    canonical URL (the main host's bare page). Mirror ?utm variants
+    reach it only via the 2-hop chain, so this exercises real
+    propagation, not star collapse."""
+    from .operators.graph import star_components
+
+    comps = star_components(_c7_edges(spark, sf_dir), a="u", b="v")
+    return comps.select(F.col("node").alias("url"), F.col("component").alias("canonical_url"))
 
 
 # ---------------------------------------------------------------------------

@@ -89,6 +89,27 @@ def test_c6_tier_boundaries(spark, sf_smoke):
     assert seen == {"hot", "warm", "cold"}, seen
 
 
+def test_c7_chains_and_canonical_shape(spark, sf_smoke):
+    """The mirror's ?utm variant must resolve to the MAIN bare URL
+    (2-hop propagation, not star collapse); every canonical is a bare
+    main-host URL; content-relevant param variants never enter the
+    alias graph."""
+    from housing_crawler_spark.queries_crawlops2 import c7_url_alias_components
+
+    got = {
+        r["url"]: r["canonical_url"]
+        for r in c7_url_alias_components(spark, sf_smoke).collect()
+    }
+    mirror_utm = [u for u in got if u.startswith("https://mh") and "?utm" in u]
+    assert mirror_utm, "no mirror utm variants at smoke SF"
+    for u in mirror_utm:
+        want = u.replace("https://mh", "https://h").split("?")[0]
+        assert got[u] == want, (u, got[u])
+    for u, c in got.items():
+        assert c.startswith("https://h") and "?" not in c, (u, c)
+        assert "color=" not in u and "page=" not in u, u
+
+
 def test_m18_plants_flagged_organics_clean(spark, sf_smoke):
     """Every planted '-wm' sibling is flagged; no organic image is.
     Plants must exist (non-vacuous gate) — the blind detector's flag
