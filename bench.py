@@ -82,6 +82,9 @@ HEADLINE = [
     "c4_dust_param_rules",  # DUST strippable-parameter mining
     "c5_host_pagerank",  # 3 exact-integer power iterations
     "m18_watermark_filter",  # LAION watermark gate (corner variance)
+    # round 6 (session 5): crawl-tier family 3
+    "c8_mirror_host_detection",  # image-fingerprint Jaccard mirror pairs
+    "c10_crawl_budget_apportion",  # exact largest-remainder budgets
     # c7_url_alias_components is NOT in the headline for the same
     # reason as d11 below: star_components' ~6-8 supersteps each pay
     # the local-mode job floor (localCheckpoint per round), measuring

@@ -51,6 +51,7 @@ from . import queries as _q  # noqa: F401  (base operators)
 from . import queries_analytics as _qa  # noqa: F401  (A/W/J/F families)
 from . import queries_crawlops as _qco  # noqa: F401  (politeness/caption audits)
 from . import queries_crawlops2 as _qco2  # noqa: F401  (DUST/PageRank/revisit/watermark)
+from . import queries_crawlops3 as _qco3  # noqa: F401  (mirrors/sitemap/budget/traps)
 from . import queries_etl as _qe  # noqa: F401  (reference ETL semantics)
 from . import queries_etl_pipeline as _qep  # noqa: F401  (6-stage ETL oracles)
 from . import queries_ml as _qml  # noqa: F401  (text/dedup/similarity)

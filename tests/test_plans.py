@@ -94,7 +94,11 @@ def test_no_cartesian_products_anywhere(spark, sf_smoke):
                      # s10 re-ranks s7's shortlist: same centroid-dim
                      # broadcast upstream; the refine join itself is an
                      # equi-join on (probe_id, neighbor_id)
-                     "s10_ivfpq_rerank"}
+                     "s10_ivfpq_rerank",
+                     # c10's total-weight and leftover scalars: two
+                     # 1-row aggregate broadcasts (a9 shape) against
+                     # the |hosts|-row quota table
+                     "c10_crawl_budget_apportion"}
     for name, qd in REGISTRY.items():
         if qd.oracle is None or name in allowed_cross:
             continue
