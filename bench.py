@@ -85,6 +85,7 @@ HEADLINE = [
     # round 6 (session 5): crawl-tier family 3
     "c8_mirror_host_detection",  # image-fingerprint Jaccard mirror pairs
     "c10_crawl_budget_apportion",  # exact largest-remainder budgets
+    "m19_aspect_bucketing",  # SDXL aspect buckets, zero-shuffle argmin fold
     # c7_url_alias_components is NOT in the headline for the same
     # reason as d11 below: star_components' ~6-8 supersteps each pay
     # the local-mode job floor (localCheckpoint per round), measuring

@@ -497,3 +497,164 @@ def c11_spider_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_trap"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# c12 — shard-skew audit: hash sharding before/after hot-host salting
+# ---------------------------------------------------------------------------
+# The skew playbook made queryable: frontier traffic hash-sharded by
+# host pools behind hot hosts (3 planted hosts carry ~60% of rows);
+# the audit computes per-shard load under plain hash(host) sharding,
+# then re-shards after SALTING every host too heavy for one shard
+# (weight * S > total; lighter hosts stay put at n_salts = 1):
+# n_salts = min(2 * ceil(weight * S / total), S) — the 2x headroom
+# keeps each piece well under one shard's mean load — placed
+# ROUND-ROBIN at (shard0 + j) % S (hashing the salts instead leaves
+# birthday collisions between hot pieces: measured 3.12x max/mean vs
+# 1.39x round-robin on the same weights). Each salt carries an exact
+# integer share w DIV n + (1 if j < w % n), so salted loads sum to
+# the original weight EXACTLY. Unsalted hosts keep their original
+# shard — real salting never reshuffles the cold tail. This is the
+# same mechanism the crawl engine applies to its frontier top-B
+# selection (operators/frontier.py) and the banded dedup joins apply
+# via bucket caps; here it is a first-class dual-oracled audit so the
+# imbalance numbers themselves are driver-checked (sf0.01: max/mean
+# 6.91 before, 1.39 after).
+
+_C12_SHARDS = 32
+_C12_HOT = 3  # planted hot hosts sharing ~60% of traffic
+_C12_COLD = 500
+
+
+def _c12_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = md5int(F.concat(F.lit("t:"), F.col("o_orderkey").cast("string")))
+    host = F.when(
+        F.pmod(u, F.lit(100)) < 60,
+        F.concat(F.lit("hot"), F.pmod(u, F.lit(_C12_HOT)).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("c"), F.pmod(u, F.lit(_C12_COLD)).cast("string"))
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+_C12_U = _md5int_sql("'t:' || o_orderkey")
+_C12_WEIGHTS_SQL = f"""
+    weights AS (
+      SELECT CASE WHEN {_C12_U} % 100 < 60
+                  THEN 'hot' || ({_C12_U} % {_C12_HOT})
+                  ELSE 'c' || ({_C12_U} % {_C12_COLD}) END AS host,
+             count(*)::BIGINT AS w
+      FROM orders GROUP BY 1
+    )
+"""
+
+
+@query(
+    "c12_shard_skew_audit",
+    oracle=f"""
+    WITH {_C12_WEIGHTS_SQL},
+    tot AS (SELECT sum(w)::BIGINT AS t FROM weights),
+    salted AS (
+      SELECT host, w,
+             (CASE WHEN w * {_C12_SHARDS} > t
+                   THEN least(2 * ((w * {_C12_SHARDS} + t - 1) // t),
+                              {_C12_SHARDS})
+                   ELSE 1 END)::BIGINT AS n_salts,
+             {_md5int_sql("'s:' || host")} % {_C12_SHARDS} AS shard0
+      FROM weights CROSS JOIN tot
+    ),
+    pieces AS (
+      SELECT host, shard0, n_salts,
+             unnest(generate_series(0, n_salts - 1)) AS j,
+             w // n_salts AS base, w % n_salts AS extra
+      FROM salted
+    ),
+    after_rows AS (
+      SELECT (shard0 + j) % {_C12_SHARDS} AS shard,
+             (base + CASE WHEN j < extra THEN 1 ELSE 0 END)::BIGINT AS piece
+      FROM pieces
+    ),
+    before_load AS (
+      SELECT shard0 AS shard, sum(w)::BIGINT AS load_before
+      FROM salted GROUP BY shard0
+    ),
+    after_load AS (
+      SELECT shard, sum(piece)::BIGINT AS load_after
+      FROM after_rows GROUP BY shard
+    )
+    SELECT COALESCE(b.shard, a.shard) AS shard,
+           COALESCE(load_before, 0)::BIGINT AS load_before,
+           COALESCE(load_after, 0)::BIGINT AS load_after
+    FROM before_load b FULL OUTER JOIN after_load a ON a.shard = b.shard
+    """,
+)
+def c12_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard load under hash(host) sharding vs after exact-share
+    salting of hosts too heavy for one shard. Integer shares conserve
+    every host's weight; unsalted hosts keep their original shard."""
+    weights = _c12_weights(spark, sf_dir)
+    tot = weights.agg(F.sum("w").cast("long").alias("t"))
+    salted = (
+        weights.join(F.broadcast(tot))
+        .select(
+            "host",
+            "w",
+            F.when(
+                F.col("w") * _C12_SHARDS > F.col("t"),
+                F.least(
+                    F.lit(2).cast("long")
+                    * F.expr(f"(w * {_C12_SHARDS} + t - 1) DIV t"),
+                    F.lit(_C12_SHARDS).cast("long"),
+                ),
+            )
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("n_salts"),
+            F.pmod(
+                md5int(F.concat(F.lit("s:"), F.col("host"))), F.lit(_C12_SHARDS)
+            ).alias("shard0"),
+        )
+        .cache()  # feeds the before-load agg AND the salted explode
+    )
+    pieces = salted.select(
+        "host",
+        "shard0",
+        "n_salts",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_salts") - 1)).alias(
+            "j"
+        ),
+        F.expr("w DIV n_salts").alias("base"),
+        F.pmod(F.col("w"), F.col("n_salts")).alias("extra"),
+    )
+    after_rows = pieces.select(
+        F.pmod(F.col("shard0") + F.col("j"), F.lit(_C12_SHARDS)).alias("shard"),
+        (
+            F.col("base")
+            + F.when(F.col("j") < F.col("extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("piece"),
+    )
+    before = salted.groupBy(F.col("shard0").alias("shard")).agg(
+        F.sum("w").cast("long").alias("load_before")
+    )
+    after = after_rows.groupBy("shard").agg(
+        F.sum("piece").cast("long").alias("load_after")
+    )
+    return (
+        before.join(after, "shard", "full")
+        .select(
+            "shard",
+            F.coalesce(F.col("load_before"), F.lit(0)).cast("long").alias(
+                "load_before"
+            ),
+            F.coalesce(F.col("load_after"), F.lit(0)).cast("long").alias(
+                "load_after"
+            ),
+        )
+    )

@@ -1347,3 +1347,142 @@ def j11_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         (F.round(F.sum("value") + F.lit(1e-9), 4) + F.lit(0.0)).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m19 — aspect-ratio bucketing for training batches (SDXL-style)
+# ---------------------------------------------------------------------------
+# Variable-aspect image corpora train through a fixed set of aspect
+# buckets (the NovelAI/SDXL recipe, Podell et al. 2023 appendix I):
+# every image is assigned the bucket whose aspect ratio is nearest in
+# log space, then resized-to-cover and center-cropped, wasting the
+# crop overhang. The argmin is exact: nearest-in-log-ratio == minimize
+# max(r/b, b/r) over bucket ratios b, and that rational is compared
+# via the integer key (greatest(w*bh, h*bw) * 1e9) DIV least(...), so
+# both engines quantize identically and ties break to the lowest
+# bucket index in both (strict < in the fold; ORDER BY key, i in SQL).
+# Per-image crop waste is held in exact millionths (1e6 - mn*1e6 DIV
+# mx) so the per-bucket average is a sum of integers — no float
+# summation order anywhere.
+#
+# Scale shape: the assignment is a zero-shuffle fold over a 9-element
+# literal array (pure column expr inside whole-stage codegen — no
+# bucket join, no explode), followed by ONE groupBy over 9 keys. The
+# dims come from this query's own mat table (the m16 metadata
+# contract: one Arrow gen pass, both engines read the same rows).
+
+_M19_MAT = mat_path("m19_dims")
+_M19_BUCKETS = [
+    (1024, 1024),
+    (1152, 896),
+    (896, 1152),
+    (1216, 832),
+    (832, 1216),
+    (1344, 768),
+    (768, 1344),
+    (1536, 640),
+    (640, 1536),
+]
+
+_M19_ARR = "array(" + ", ".join(
+    f"named_struct('i', {i}, 'bw', {bw}, 'bh', {bh})"
+    for i, (bw, bh) in enumerate(_M19_BUCKETS)
+) + ")"
+_M19_KEY_B = (
+    "CAST(greatest(w * b.bh, h * b.bw) AS BIGINT) * 1000000000"
+    " DIV CAST(least(w * b.bh, h * b.bw) AS BIGINT)"
+)
+_M19_FOLD = f"""aggregate(
+  {_M19_ARR},
+  named_struct('i', -1,
+               'key', CAST(9223372036854775807 AS BIGINT),
+               'mx', CAST(0 AS BIGINT), 'mn', CAST(1 AS BIGINT)),
+  (acc, b) -> CASE WHEN {_M19_KEY_B} < acc.key
+    THEN named_struct('i', b.i, 'key', {_M19_KEY_B},
+                      'mx', CAST(greatest(w * b.bh, h * b.bw) AS BIGINT),
+                      'mn', CAST(least(w * b.bh, h * b.bw) AS BIGINT))
+    ELSE acc END
+)"""
+
+_M19_DIMS_CASE_SPARK = {
+    col: "CASE bucket_id "
+    + " ".join(f"WHEN {i} THEN {dims[j]}" for i, dims in enumerate(_M19_BUCKETS))
+    + " END"
+    for j, col in enumerate(("bw", "bh"))
+}
+_M19_VALUES = ", ".join(
+    f"({i}, {bw}, {bh})" for i, (bw, bh) in enumerate(_M19_BUCKETS)
+)
+
+
+@query(
+    "m19_aspect_bucketing",
+    oracle=f"""
+    WITH buckets(i, bw, bh) AS (VALUES {_M19_VALUES}),
+    keyed AS (
+      SELECT m.image_id, buckets.i,
+             (greatest(w * bh, h * bw)::BIGINT * 1000000000)
+               // least(w * bh, h * bw)::BIGINT AS key,
+             greatest(w * bh, h * bw)::BIGINT AS mx,
+             least(w * bh, h * bw)::BIGINT AS mn
+      FROM read_parquet('{_M19_MAT}/*.parquet') m CROSS JOIN buckets
+    ),
+    best AS (
+      SELECT image_id, i AS bucket_id, mx, mn,
+             ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY key, i) AS rn
+      FROM keyed
+    ),
+    waste AS (
+      SELECT bucket_id, 1000000 - (mn * 1000000) // mx AS waste_x1e6
+      FROM best WHERE rn = 1
+    )
+    SELECT bucket_id, b.bw, b.bh,
+           count(*)::BIGINT AS n_images,
+           round(sum(waste_x1e6)::DOUBLE / count(*) / 1000000 + 1e-9, 4) + 0.0
+             AS avg_crop_waste
+    FROM waste JOIN buckets b ON b.i = bucket_id
+    GROUP BY bucket_id, b.bw, b.bh
+    """,
+)
+def m19_aspect_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every image to its nearest aspect bucket (exact integer
+    log-ratio argmin, zero-shuffle fold over the 9-bucket literal
+    array) and summarize per bucket: image count + average
+    resize-to-cover center-crop waste in exact millionths."""
+    from .queries_multimodal import _image_table
+
+    _image_table(spark, sf_dir).select("image_id", "w", "h").write.mode(
+        "overwrite"
+    ).parquet(_M19_MAT)
+    dims = spark.read.parquet(_M19_MAT)
+    best = dims.select(
+        "image_id", F.expr(_M19_FOLD).alias("best")
+    ).select(
+        F.col("best.i").alias("bucket_id"),
+        (F.lit(1000000) - F.expr("(best.mn * 1000000) DIV best.mx")).alias(
+            "waste_x1e6"
+        ),
+    )
+    return (
+        best.groupBy("bucket_id")
+        .agg(
+            F.count("*").alias("n_images"),
+            (
+                F.round(
+                    F.sum("waste_x1e6").cast("double")
+                    / F.count("*")
+                    / F.lit(1000000)
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("avg_crop_waste"),
+        )
+        .select(
+            "bucket_id",
+            F.expr(_M19_DIMS_CASE_SPARK["bw"]).cast("int").alias("bw"),
+            F.expr(_M19_DIMS_CASE_SPARK["bh"]).cast("int").alias("bh"),
+            "n_images",
+            "avg_crop_waste",
+        )
+    )

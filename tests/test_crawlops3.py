@@ -73,3 +73,16 @@ def test_c9_all_statuses_present(spark, sf_correct) -> None:
         & (F.col("refetch_backlog") > 0)
     ).count()
     assert bad == 0
+
+
+def test_c12_salting_restores_balance(spark, sf_correct) -> None:
+    pdf = REGISTRY["c12_shard_skew_audit"].fn(spark, sf_correct).toPandas()
+    # exact load conservation through the integer salt shares
+    assert pdf.load_before.sum() == pdf.load_after.sum()
+    n = len(pdf)
+    imb_before = pdf.load_before.max() * n / pdf.load_before.sum()
+    imb_after = pdf.load_after.max() * n / pdf.load_after.sum()
+    # planted hot hosts skew plain hash sharding hard; round-robin
+    # salting with 2x headroom restores near-uniform load
+    assert imb_before > 3.0, imb_before
+    assert imb_after < 2.0, imb_after

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import hashlib
 
+from housing_crawler_spark.queries import REGISTRY
 from housing_crawler_spark.queries_ml6 import (
     _J10_TRAIN_BUCKETS,
     _M12_STRIDE,
@@ -91,3 +92,20 @@ def test_video_brightness_twin_frames_hash_near():
             # EVERY frame pair confirms -> the twin survives m13's
             # all-frames (max per-frame min-Hamming) keep rule
             assert bin(pa ^ pb).count("1") <= _M13_MAXHAM
+
+
+def test_m19_bucketing_invariants(spark, sf_correct) -> None:
+    from housing_crawler_spark.queries_ml6 import _M19_BUCKETS
+
+    pdf = REGISTRY["m19_aspect_bucketing"].fn(spark, sf_correct).toPandas()
+    # every image lands in a real bucket (the fold's -1 sentinel never
+    # survives because every key beats BIGINT-max)
+    assert (pdf.bucket_id >= 0).all() and (pdf.bucket_id <= 8).all()
+    # bucket dims round-trip the literal table
+    dims = {i: wh for i, wh in enumerate(_M19_BUCKETS)}
+    for r in pdf.itertuples():
+        assert (r.bw, r.bh) == dims[r.bucket_id]
+    # crop waste is a fraction, and the extreme-aspect buckets absorb
+    # the tails at higher waste than the square bucket
+    assert ((pdf.avg_crop_waste >= 0) & (pdf.avg_crop_waste < 1)).all()
+    assert len(pdf) >= 5  # distribution is non-vacuous across buckets

@@ -98,7 +98,10 @@ def test_no_cartesian_products_anywhere(spark, sf_smoke):
                      # c10's total-weight and leftover scalars: two
                      # 1-row aggregate broadcasts (a9 shape) against
                      # the |hosts|-row quota table
-                     "c10_crawl_budget_apportion"}
+                     "c10_crawl_budget_apportion",
+                     # c12's total-traffic scalar: one 1-row aggregate
+                     # broadcast against the |hosts|-row weight table
+                     "c12_shard_skew_audit"}
     for name, qd in REGISTRY.items():
         if qd.oracle is None or name in allowed_cross:
             continue
