@@ -86,6 +86,7 @@ HEADLINE = [
     "c8_mirror_host_detection",  # image-fingerprint Jaccard mirror pairs
     "c10_crawl_budget_apportion",  # exact largest-remainder budgets
     "m19_aspect_bucketing",  # SDXL aspect buckets, zero-shuffle argmin fold
+    "c13_kmv_cardinality",  # KMV distinct sketch, exact-integer estimator
     # c7_url_alias_components is NOT in the headline for the same
     # reason as d11 below: star_components' ~6-8 supersteps each pay
     # the local-mode job floor (localCheckpoint per round), measuring

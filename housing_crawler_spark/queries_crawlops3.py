@@ -658,3 +658,113 @@ def c12_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c13 — KMV distinct-cardinality sketch (frontier size estimation)
+# ---------------------------------------------------------------------------
+# Estimating per-host frontier cardinality WITHOUT a full distinct is
+# the k-minimum-values sketch (Bar-Yossef et al., RANDOM 2002; Beyer
+# et al., SIGMOD 2007): keep the k smallest hash values per host; the
+# estimator is (k-1) * H / h_(k), with H the hash space size. Unlike
+# HLL (whose implementations differ engine to engine and cannot be
+# oracled), KMV is PURE integer arithmetic over the portable 60-bit
+# md5 hash, so Spark and DuckDB produce bit-identical estimates. The
+# audit emits the exact distinct count next to the estimate plus the
+# signed relative error; hosts with fewer than k distinct values take
+# the sketch-is-exact branch (the estimate IS the set size).
+#
+# Scale shape: one distinct on (host, h) then one per-host window for
+# the k-th order statistic — at 10^10 URLs the sketch itself is
+# mergeable state of k int64s per host (the engine-side shape; here
+# the window form keeps the query dual-oracled); the exact count
+# exists only because this is the AUDIT of the estimator.
+#
+# Hash space is the 60-bit md5 truncated to 52 bits (2^60/2^52 is an
+# integer power so the modulo stays uniform): (k-1) * 2^60 overflows
+# BIGINT (Spark ANSI throws), while (k-1) * 2^52 = 2.8e17 fits with
+# headroom, keeping the whole estimator in exact 64-bit arithmetic.
+
+_C13_HOSTS = 40
+_C13_K = 64
+_C13_SPACE = 1 << 52
+# every 1553rd orderkey routes to a planted SPARSE host (~38 distinct
+# at sf0.01 < k), so the sketch-is-exact branch is exercised at the
+# driver gate's sf, not only at sf0.001
+_C13_SPARSE_MOD = 1553
+_C13_SPARSE_HOST = 999
+
+
+@query(
+    "c13_kmv_cardinality",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CASE WHEN l_orderkey % {_C13_SPARSE_MOD} = 0
+                  THEN {_C13_SPARSE_HOST}
+                  ELSE l_orderkey % {_C13_HOSTS} END AS host,
+             {_md5int_sql("'u:' || l_orderkey")} % {_C13_SPACE} AS h
+      FROM lineitem
+    ),
+    dedup AS (SELECT DISTINCT host, h FROM obs),
+    ranked AS (
+      SELECT host, h,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY h) AS rn
+      FROM dedup
+    ),
+    exact AS (
+      SELECT host, count(*)::BIGINT AS n_distinct FROM dedup GROUP BY host
+    ),
+    kth AS (
+      SELECT host, h AS h_k FROM ranked WHERE rn = {_C13_K}
+    )
+    SELECT e.host, n_distinct,
+           COALESCE({_C13_K - 1}::BIGINT * {_C13_SPACE} // h_k,
+                    n_distinct) AS kmv_estimate,
+           (h_k IS NULL) AS sketch_exact,
+           round((COALESCE({_C13_K - 1}::BIGINT * {_C13_SPACE} // h_k,
+                           n_distinct) - n_distinct)::DOUBLE
+                 / n_distinct + 1e-9, 4) + 0.0 AS rel_err
+    FROM exact e LEFT JOIN kth k ON k.host = e.host
+    """,
+)
+def c13_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-URL cardinality: the KMV estimate
+    (k-1)*2^52 DIV h_(k) from the k-th smallest 52-bit hash vs the
+    exact count, with signed relative error. Exact integer arithmetic
+    end-to-end, so both engines agree bit-for-bit; hosts with < k
+    distinct hashes report the sketch-is-exact branch."""
+    obs = load(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.col("l_orderkey") % _C13_SPARSE_MOD == 0, F.lit(_C13_SPARSE_HOST)
+        )
+        .otherwise(F.col("l_orderkey") % _C13_HOSTS)
+        .cast("long")
+        .alias("host"),
+        F.pmod(
+            md5int(F.concat(F.lit("u:"), F.col("l_orderkey").cast("string"))),
+            F.lit(_C13_SPACE),
+        ).alias("h"),
+    )
+    dedup = obs.distinct().cache()  # feeds the exact agg AND the window
+    ranked = dedup.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("host").orderBy("h"))
+    )
+    exact = dedup.groupBy("host").agg(F.count("*").alias("n_distinct"))
+    kth = ranked.filter(F.col("rn") == _C13_K).select(
+        "host", F.col("h").alias("h_k")
+    )
+    est = F.expr(f"CAST({_C13_K - 1} AS BIGINT) * {_C13_SPACE} DIV h_k")
+    kmv = F.coalesce(est, F.col("n_distinct"))
+    return exact.join(kth, "host", "left").select(
+        "host",
+        "n_distinct",
+        kmv.alias("kmv_estimate"),
+        F.col("h_k").isNull().alias("sketch_exact"),
+        (
+            r4(
+                (kmv - F.col("n_distinct")).cast("double")
+                / F.col("n_distinct")
+            )
+            + F.lit(0.0)
+        ).alias("rel_err"),
+    )

@@ -86,3 +86,19 @@ def test_c12_salting_restores_balance(spark, sf_correct) -> None:
     # salting with 2x headroom restores near-uniform load
     assert imb_before > 3.0, imb_before
     assert imb_after < 2.0, imb_after
+
+
+def test_c13_kmv_estimator_quality(spark, sf_correct) -> None:
+    pdf = REGISTRY["c13_kmv_cardinality"].fn(spark, sf_correct).toPandas()
+    # both estimator branches live at the gate's sf: the planted
+    # sparse host takes sketch-is-exact, the rest the k-th-order form
+    assert pdf.sketch_exact.sum() >= 1
+    assert (~pdf.sketch_exact).sum() >= 30
+    exact_rows = pdf[pdf.sketch_exact]
+    assert (exact_rows.kmv_estimate == exact_rows.n_distinct).all()
+    assert (exact_rows.rel_err == 0).all()
+    # KMV at k=64 carries ~1/sqrt(63) ≈ 12.6% expected relative error;
+    # the realized per-host errors stay inside a generous 2.8-sigma cap
+    sk = pdf[~pdf.sketch_exact]
+    assert sk.rel_err.abs().max() < 0.35, sk.rel_err.abs().max()
+    assert sk.rel_err.abs().mean() < 0.15
