@@ -1126,9 +1126,19 @@ def s6_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations, first-K seeds — the oracle's pinned deterministic
     setting), corpus encoded to 8 codes/vector, planted perturbed-twin
     probes scored via integer-scaled lookup tables, top-3 per probe."""
-    base = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    from .operators.veccluster import adc_sum, codes_as_array, flat_lut, pq_fast_assign
+
+    # spread the training/encode work off the 1-6 parquet input splits
+    # (guide §2.5: input skew — every per-row stage below would
+    # otherwise run ≤6-wide at any core count)
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .repartition(par)
     )
     pert_i = F.expr(f"transform(sequence(1, {_PQ_M * _PQ_D}), i -> "
                     f"element_at(e, i) + {_PQ_PERT.format(i='i')})")
@@ -1142,11 +1152,13 @@ def s6_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), "j", F.col("sv").alias("cv")
     )
     for _ in range(2):
-        cents = _pq_recenter(_pq_assign(sub, cents))
+        cents = _pq_recenter(pq_fast_assign(sub, cents, _pq_l2))
     # cents feeds BOTH the encode and the lookup table — cache, or the
     # whole training tree re-runs per branch (fan-out trap)
     cents = cents.cache()
-    codes = _pq_assign(sub, cents).select("vec_id", "j", F.col("cid").alias("code"))
+    codes = pq_fast_assign(sub, cents, _pq_l2).select(
+        "vec_id", "j", F.col("cid").alias("code")
+    )
     psub = _pq_sub(probes, "probe_id")
     p, c = psub.alias("p"), F.broadcast(cents).alias("c")
     lut = p.join(c, F.col("p.j") == F.col("c.j")).select(
@@ -1157,14 +1169,40 @@ def s6_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pd_x1e6"),
     )
+    # r07 ADC restructure (guide §2.3): the old shape joined every code
+    # row to every probe's LUT on (j, code) — probes × corpus × m rows —
+    # then hash-aggregated the m partial distances per (probe, neighbor)
+    # pair (20M-group aggregate at sf1.0, the query's entire cost). Now
+    # each vector's m codes ride in ONE array row, each probe's LUT is a
+    # flat m·k-slot array, the probe×corpus pairing happens exactly once
+    # via an equi-join on the j=0 code, and the ADC distance is an
+    # inline 8-term integer sum (order-free ⇒ bit-identical d_x1e6).
+    # the code-array aggregate is ~n small rows, so AQE coalesces its
+    # shuffle to 1-2 partitions — but the join below fans each row out
+    # ×probes (20M rows at sf1.0). Re-spread explicitly or the whole
+    # ADC scan + topk sort runs nearly single-task (guide §2.5).
+    carr = codes_as_array(codes, _PQ_M).repartition(par)
+    lutf = flat_lut(lut, _PQ_M, _PQ_K)
+    # j=0 LUT slice: one row per (probe, possible j0-code) — the
+    # pairing key. Every probe has exactly one row per code value, so
+    # neighbor ⋈ build on code0 yields each (neighbor, probe) pair once.
+    build = (
+        lut.filter(F.col("j") == 0)
+        .select("probe_id", F.col("cid").alias("code0"))
+        .join(lutf, "probe_id")
+    )
     adc = (
-        codes.alias("x")
-        .join(
-            F.broadcast(lut).alias("l"),
-            (F.col("l.j") == F.col("x.j")) & (F.col("l.cid") == F.col("x.code")),
+        carr.join(
+            F.broadcast(build),
+            F.element_at("code_arr", 1).cast("long") == F.col("code0"),
         )
-        .groupBy("probe_id", F.col("x.vec_id").alias("neighbor_id"))
-        .agg(F.sum("pd_x1e6").alias("d_x1e6"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc_sum(F.col("code_arr"), F.col("lut_flat"), _PQ_M, _PQ_K).alias(
+                "d_x1e6"
+            ),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy("d_x1e6", "neighbor_id")
     return (

@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 from .operators.exactsubstr import exact_substr_cut
 from .queries import load, query, r4
 from .queries_ml import _DUPED_SQL, _duped, _md5int_sql, _TOKENS_SQL
-from .queries_ml2 import _df_assign, _df_recenter, _sql_assign, _sql_recenter
+from .queries_ml2 import _df_recenter, _sql_assign, _sql_recenter
 from .queries_ml3 import (
     _PQ_D,
     _PQ_EVERY,
@@ -41,7 +41,6 @@ from .queries_ml3 import (
     _PQ_PERT,
     _PQ_TOPK,
     _l2_sql,
-    _pq_assign,
     _pq_assign_sql,
     _pq_l2,
     _pq_recenter,
@@ -270,9 +269,24 @@ def ivfpq_parts(spark: SparkSession, sf_dir: str):
     can assert the scored-candidate bound and recall without
     re-deriving the training, and so s10 can re-rank the raw ADC
     scores. Returns (probes, cells, cand, adc, topk)."""
-    base = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    from .operators.veccluster import (
+        adc_sum,
+        codes_as_array,
+        fast_assign,
+        flat_lut,
+        pq_fast_assign,
+    )
+
+    # spread the training/encode work off the 1-6 parquet input splits
+    # (guide §2.5 — the r07 fix measured on s6/s8; same pipeline here)
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .repartition(par)
     )
     pert_i = F.expr(
         f"transform(sequence(1, {_PQ_M * _PQ_D}), i -> "
@@ -283,16 +297,17 @@ def ivfpq_parts(spark: SparkSession, sf_dir: str):
         pert_i.alias("e"),
     )
 
-    # coarse quantizer (s4's trajectory: first-K seeds, 2 Lloyd iters)
+    # coarse quantizer (s4's trajectory: first-K seeds, 2 Lloyd iters;
+    # fast_assign = result-identical argmax via hoisted norms + max_by)
     cc = base.filter(F.col("vec_id") < _S7_K).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("c")
     )
     for _ in range(2):
-        cc = _df_recenter(_df_assign(base, cc))
+        cc = _df_recenter(fast_assign(base, cc))
     cc = cc.cache()  # feeds cells AND pcells
-    cells = _df_assign(base, cc).select("vec_id", "cid").cache()
+    cells = fast_assign(base, cc).select("vec_id", "cid").cache()
     pcells = (
-        _df_assign(
+        fast_assign(
             probes.select(F.col("probe_id").alias("vec_id"), "e"),
             cc,
             nprobe=_S7_NPROBE,
@@ -306,9 +321,9 @@ def ivfpq_parts(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("cid"), "j", F.col("sv").alias("cv")
     )
     for _ in range(2):
-        q = _pq_recenter(_pq_assign(sub, q))
+        q = _pq_recenter(pq_fast_assign(sub, q, _pq_l2))
     q = q.cache()  # feeds codes AND the LUT
-    codes = _pq_assign(sub, q).select(
+    codes = pq_fast_assign(sub, q, _pq_l2).select(
         "vec_id", "j", F.col("cid").alias("code")
     )
 
@@ -328,21 +343,30 @@ def ivfpq_parts(spark: SparkSession, sf_dir: str):
     )
 
     # THE composition: candidates = members of each probe's nprobe
-    # cells; only their codes flow into the ADC aggregation
+    # cells; only their codes flow into the ADC scoring. r07 ADC
+    # restructure (same as s6's, guide §2.3): each vector's m codes in
+    # ONE array row, each probe's LUT flattened to an m·k-slot array,
+    # the distance an inline integer sum — the old (j, code)-keyed
+    # m-way join + |cand|-group hash aggregate disappears. The explicit
+    # repartition re-spreads the AQE-coalesced aggregate outputs before
+    # the ×probes fan-out (guide §2.5).
     cand = pcells.join(cells, "cid").select(
         "probe_id", F.col("vec_id").alias("neighbor_id")
     )
+    carr = codes_as_array(codes, _PQ_M)
+    lutf = flat_lut(lut, _PQ_M, _PQ_K)
     adc = (
-        cand.alias("cd")
-        .join(codes.alias("x"), F.col("x.vec_id") == F.col("cd.neighbor_id"))
-        .join(
-            F.broadcast(lut).alias("l"),
-            (F.col("l.probe_id") == F.col("cd.probe_id"))
-            & (F.col("l.j") == F.col("x.j"))
-            & (F.col("l.cid") == F.col("x.code")),
+        cells.repartition(par)
+        .join(F.broadcast(pcells), "cid")
+        .join(F.broadcast(carr), "vec_id")
+        .join(F.broadcast(lutf), "probe_id")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc_sum(F.col("code_arr"), F.col("lut_flat"), _PQ_M, _PQ_K).alias(
+                "d_x1e6"
+            ),
         )
-        .groupBy("cd.probe_id", "cd.neighbor_id")
-        .agg(F.sum("pd_x1e6").alias("d_x1e6"))
     )
     w = Window.partitionBy("probe_id").orderBy("d_x1e6", "neighbor_id")
     topk = (

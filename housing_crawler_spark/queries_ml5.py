@@ -44,9 +44,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators.veccluster import fast_assign
 from .queries import query, r4
-from .queries_ml import _cos_sql, _md5int_sql, cosine, md5int
-from .queries_ml2 import _df_assign, _df_recenter, _EMB_SQL, _emb, _sql_assign, _sql_recenter
+from .queries_ml import _cos_sql, _md5int_sql, cosine, dot, md5int
+from .queries_ml2 import _df_recenter, _EMB_SQL, _emb, _sql_assign, _sql_recenter
 
 # ---------------------------------------------------------------------------
 # s8 — SemDeDup
@@ -106,35 +107,76 @@ _S8_SQL = f"""
 def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The s8 frame (vec_id, cid, centroid_sim, n_dups, keep, csim) —
     shared with s9, which chains the D4 tail onto the survivors."""
-    base = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("e"))
+    # spread the hot per-row work across the cluster: the raw scans are
+    # 1-6 input splits at any sf (small parquet), so every downstream
+    # projection would otherwise run ≤6-wide (guide §2.5 input skew)
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.col("embedding").alias("e"))
+        .repartition(par)
+        .cache()
+    )
     cc = base.filter(F.col("vec_id") < _S8_K).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("c")
     )
     for _ in range(2):
-        cc = _df_recenter(_df_assign(base, cc))
+        cc = _df_recenter(fast_assign(base, cc))
     cc = cc.cache()  # feeds the final assignment AND the csim join
-    cells = _df_assign(base, cc)
-    # csim feeds the pair self-join twice plus the output — cache it
-    csim = (
-        cells.join(F.broadcast(cc), "cid")
-        .select(
-            "vec_id",
-            "cid",
-            "e",
-            F.round(cosine(F.col("e"), F.col("c")) + F.lit(1e-9), 6).alias("csim"),
-        )
-        .cache()
+    cells = fast_assign(base, cc)
+    # csim feeds the pair self-join twice plus the output — cache it.
+    # nrm = sqrt(dot(e,e)) once per ROW: the pair filter below then
+    # computes cosine as dot(a,b)/(a.nrm*b.nrm), which is bit-identical
+    # to cosine(a.e, b.e) = dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))
+    # but folds ONE array per pair instead of three (guide §2.3:
+    # per-pair work is the n²/K hot loop — hoist everything row-level)
+    nrm = F.sqrt(dot(F.col("e"), F.col("e")))
+    csim = cells.join(F.broadcast(cc), "cid").select(
+        "vec_id",
+        "cid",
+        "e",
+        F.round(cosine(F.col("e"), F.col("c")) + F.lit(1e-9), 6).alias("csim"),
+        nrm.alias("nrm"),
     )
+    # first four NORMALIZED coordinates drive the exact prefilter below
+    for i in (1, 2, 3, 4):
+        csim = csim.withColumn(
+            f"u{i}", F.element_at("e", i).cast("double") / F.col("nrm")
+        )
+    csim = csim.cache()
     a, b = csim.alias("a"), csim.alias("b")
+    # broadcast the build side: the SMJ alternative hashes on cid's 8
+    # distinct values (≤8 busy tasks at any core count, guide §2.5);
+    # the broadcast hash join keeps the probe side's full parallelism
+    # and removes both pair-join exchanges (guide §3.1)
+    #
+    # Exact coordinate prefilter (no false negatives): the tau gate
+    # passes iff true cosine >= 0.999 - 1e-9 - 5e-7 (round guard), so
+    # the normalized vectors satisfy ||â-b̂||₂ = sqrt(2-2cos) <= 0.0448
+    # — hence EVERY coordinate differs by <= 0.0448 < 0.05. Four cheap
+    # per-pair subtractions (codegen, left-to-right And short-circuit)
+    # drop ~99.5% of the n²/K pairs before the interpreted array-fold
+    # dot product ever runs (guide §1.2: fix the per-pair work).
+    guard = (F.abs(F.col("a.u1") - F.col("b.u1")) <= 0.05)
+    for i in (2, 3, 4):
+        guard = guard & (F.abs(F.col(f"a.u{i}") - F.col(f"b.u{i}")) <= 0.05)
     pairs = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.cid") == F.col("b.cid"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .filter(
-            F.round(cosine(F.col("a.e"), F.col("b.e")) + F.lit(1e-9), 6)
-            >= _S8_TAU
+            guard
+            & (
+                F.round(
+                    dot(F.col("a.e"), F.col("b.e"))
+                    / (F.col("a.nrm") * F.col("b.nrm"))
+                    + F.lit(1e-9),
+                    6,
+                )
+                >= _S8_TAU
+            )
         )
         .select(
             F.col("a.vec_id").alias("xa"),
@@ -156,9 +198,11 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("__sup", F.lit(1))
     )
+    # nd/sup hold only the few tau-pair members — broadcast them so the
+    # final assembly never shuffles the corpus (2 Exchange+Sort → 0)
     return (
-        csim.join(nd, "vec_id", "left")
-        .join(sup, "vec_id", "left")
+        csim.join(F.broadcast(nd), "vec_id", "left")
+        .join(F.broadcast(sup), "vec_id", "left")
         .select(
             "vec_id",
             "cid",

@@ -215,15 +215,44 @@ def j10_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred = F.lit(True)
         for k in range(lo, lo + _J10_R):
             pred = pred & (F.col(f"t.mh_{k}") == F.col(f"v.mh_{k}"))
-        return tr.join(va, pred).select(*pair_cols)
+        # broadcast the (smaller) val side: band joins become map-only
+        return tr.join(F.broadcast(va), pred).select(*pair_cols)
 
     cand = band_pairs(0).unionByName(band_pairs(1)).distinct()
-    gt = base.select(F.col("doc_id").alias("train_doc"), F.col("gh").alias("gt"))
-    gv = base.select(F.col("doc_id").alias("val_doc"), F.col("gh").alias("gv"))
+    # r07 (guide §2.3/§3.1): the confirm used to attach both gram
+    # arrays via sort-merge joins, i.e. the ~8M candidate pairs were
+    # shuffled TWICE carrying ~2.4 KB of gh payload each (~40 GB of
+    # exchange at sf1.0 — the whole query cost). Broadcasting the
+    # doc-keyed gram table instead keeps the pair stream narrow and the
+    # confirm map-only. The gram table is docs × ~300 int64 grams
+    # (~130 MB at sf1.0) — within the driver/executor budget here; at
+    # corpus scale the same join pre-bucketed by doc_id (storage-layer
+    # bucketing) is the shuffle-free equivalent.
+    gt = F.broadcast(
+        base.select(F.col("doc_id").alias("train_doc"), F.col("gh").alias("gt"))
+    )
+    gv = F.broadcast(
+        base.select(F.col("doc_id").alias("val_doc"), F.col("gh").alias("gv"))
+    )
     inter = F.size(F.array_intersect(F.col("gt"), F.col("gv")))
+    na, nb = F.size(F.col("gt")), F.size(F.col("gv"))
+    # Exact integer prefilters (r07): array_intersect costs ~24 µs per
+    # 143-element pair and the old select+filter shape evaluated it
+    # 2-3× per candidate. Both guards below are NECESSARY conditions
+    # for the authoritative float test j >= 0.8 (with one integer of
+    # slack, dwarfing any float-vs-rational ulp), so no pair that the
+    # oracle keeps is dropped:
+    #   1. i <= min(na,nb) and na+nb-i >= max  ⟹  j <= min/max,
+    #      so j >= 0.8 needs 5·min >= 4·max (costs two size() calls);
+    #   2. j = i/(na+nb-i) >= 0.8  ⟺  9i >= 4(na+nb) (exact rational),
+    #      checked with slack -1 (costs ONE intersect).
+    # Survivors (≈ the true dup pairs) then pay the float j and the
+    # unchanged final comparison.
     jac = (
         cand.join(gt, "train_doc")
         .join(gv, "val_doc")
+        .filter(F.lit(5) * F.least(na, nb) >= F.lit(4) * F.greatest(na, nb) - 1)
+        .filter(F.lit(9) * inter >= F.lit(4) * (na + nb) - 1)
         .select(
             "val_doc",
             "train_doc",
@@ -542,6 +571,40 @@ _M13_BANDS = 4
 _M13_BITS = 16
 _M13_MAXHAM = 8  # frame pair counts as matched below this
 
+
+def sampled_phashes(cid: int, brightness: int = 0) -> list[tuple[int, int]]:
+    """[(frame_idx, phash63)] for the sampled frames of clip ``cid`` —
+    the r07 fast path for m13's fingerprint mat: synthesize ONLY every
+    _M12_STRIDE-th frame instead of encoding the full container and
+    parsing it back (2/3 of the DCT encodes and the container
+    round-trip were pure waste for this query). Per-frame math is
+    byte-identical to build_video + sample_video — same seed, scene
+    pick, brightness drift, and dctq encode→decode before the phash —
+    pinned by test_ml6.test_sampled_phashes_matches_container_path."""
+    import numpy as np
+
+    from . import synth
+    from .operators.images import decode, encode, phash64
+    from .queries_multimodal import _WORLD
+
+    doc = int(cid) % 1_000_000
+    pseed = synth.h(_WORLD.seed, f"vid:{doc}")
+    n_frames = 6 + synth.h(_WORLD.seed, f"vframes:{doc}") % 7
+    cut = n_frames // 2
+    scenes = [
+        synth.gen_image(pseed, 0, lo=32, hi=64),
+        synth.gen_image(pseed, 1, lo=32, hi=64),
+    ]
+    out = []
+    for i in range(0, n_frames, _M12_STRIDE):
+        frame = scenes[0] if i < cut else scenes[1]
+        frame = np.clip(
+            frame.astype(np.int16) + 2 * i + brightness, 0, 255
+        ).astype(np.uint8)
+        img, _ = decode(encode(frame, "dctq"))
+        out.append((i, phash64(img) & ((1 << 63) - 1)))
+    return out
+
 _M13_BAND_SQL = " UNION ALL ".join(
     f"""
         SELECT a.clip_id AS clip_a, b.clip_id AS clip_b
@@ -601,12 +664,9 @@ def m13_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"clip_id": [], "frame_idx": [], "phash63": []}
 
             def emit(cid, brightness=0):
-                _, buf = build_video(
-                    int(cid) % 1_000_000, brightness=brightness
-                )
-                for frame_idx, _mean, ph in sample_video(buf):
+                for i, ph in sampled_phashes(int(cid), brightness=brightness):
                     out["clip_id"].append(int(cid))
-                    out["frame_idx"].append(frame_idx)
+                    out["frame_idx"].append(i)
                     out["phash63"].append(ph)
 
             for doc_id in pdf["doc_id"]:
@@ -621,43 +681,64 @@ def m13_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames.write.mode("overwrite").parquet(_M13_MAT)
     f = spark.read.parquet(_M13_MAT)
 
+    # r07 confirm restructure (guide §2.3/§2.4): the old plan
+    # DISTINCTed ~46M candidate pairs (sf1.0) through a shuffle, then
+    # re-joined both frame tables (×16 fan-out → ~500M-row aggregate).
+    # Now each clip's sampled phashes ride in ONE broadcast array row,
+    # every band join is map-only (broadcast frame table), the confirm
+    # (max over a-frames of min-Hamming vs b-frames) is an inline
+    # integer expression per candidate row, and only the handful of
+    # confirmed rows reach the final distinct. An exact short-circuit
+    # guard — the FIRST a-frame must have a ≤max_ham counterpart, a
+    # necessary condition for the max — drops ~99% of candidates after
+    # ~3 bit_counts. Zero wide shuffles end to end.
+    carr = f.groupBy("clip_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("frame_idx", "phash63"))),
+            lambda x: x["phash63"],
+        ).alias("phs")
+    )
+    ca = F.broadcast(
+        carr.select(F.col("clip_id").alias("clip_a"), F.col("phs").alias("pa"))
+    )
+    cb = F.broadcast(
+        carr.select(F.col("clip_id").alias("clip_b"), F.col("phs").alias("pb"))
+    )
+
+    def min_ham(pa_elem):
+        return F.array_min(
+            F.transform(
+                F.col("pb"), lambda pb: F.bit_count(pa_elem.bitwiseXOR(pb))
+            )
+        )
+
+    guard = min_ham(F.element_at(F.col("pa"), 1)) <= _M13_MAXHAM
+    worst = F.array_max(F.transform(F.col("pa"), lambda pa: min_ham(pa)))
+
     mask = (1 << _M13_BITS) - 1
-    cand = None
+    confirmed = None
     for k in range(_M13_BANDS):
         band = lambda c: F.shiftrightunsigned(c, k * _M13_BITS).bitwiseAND(
             F.lit(mask)
         )
         a = f.select(F.col("clip_id").alias("clip_a"), band(F.col("phash63")).alias("bv"))
         b = f.select(F.col("clip_id").alias("clip_b"), band(F.col("phash63")).alias("bv"))
-        part = a.join(
-            b, (a["bv"] == b["bv"]) & (a["clip_a"] < b["clip_b"])
-        ).select("clip_a", "clip_b")
-        cand = part if cand is None else cand.unionByName(part)
-    cand = cand.distinct()
-
-    fa = f.select(
-        F.col("clip_id").alias("clip_a"),
-        F.col("frame_idx").alias("fia"),
-        F.col("phash63").alias("pha"),
-    )
-    fb = f.select(
-        F.col("clip_id").alias("clip_b"), F.col("phash63").alias("phb")
-    )
-    ham = F.bit_count(F.col("pha").bitwiseXOR(F.col("phb")))
-    perframe = (
-        cand.join(fa, "clip_a")
-        .join(fb, "clip_b")
-        .groupBy("clip_a", "clip_b", "fia")
-        .agg(F.min(ham).alias("mh"))
-    )
-    return (
-        perframe.groupBy("clip_a", "clip_b")
-        .agg(
-            F.count("*").alias("n_frames_a"),
-            F.max("mh").cast("long").alias("worst_frame_ham"),
+        part = (
+            a.join(F.broadcast(b), (a["bv"] == b["bv"]) & (a["clip_a"] < b["clip_b"]))
+            .select("clip_a", "clip_b")
+            .join(ca, "clip_a")
+            .join(cb, "clip_b")
+            .filter(guard)
+            .select(
+                "clip_a",
+                "clip_b",
+                F.size("pa").cast("long").alias("n_frames_a"),
+                worst.cast("long").alias("worst_frame_ham"),
+            )
+            .filter(F.col("worst_frame_ham") <= _M13_MAXHAM)
         )
-        .filter(F.col("worst_frame_ham") <= _M13_MAXHAM)
-    )
+        confirmed = part if confirmed is None else confirmed.unionByName(part)
+    return confirmed.distinct()
 
 
 # ---------------------------------------------------------------------------

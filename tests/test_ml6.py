@@ -12,7 +12,21 @@ from housing_crawler_spark.queries_ml6 import (
     _M12_STRIDE,
     build_video,
     sample_video,
+    sampled_phashes,
 )
+
+
+def test_sampled_phashes_matches_container_path():
+    """m13's r07 fast path (synthesize only sampled frames) must
+    reproduce the container path's (frame_idx, phash63) rows exactly,
+    with and without the planted twins' brightness offset."""
+    for doc_id in (0, 7, 123, 9999, 1_000_007):
+        for b in (0, 6):
+            _, buf = build_video(doc_id % 1_000_000, brightness=b)
+            want = [
+                (i, ph & ((1 << 63) - 1)) for i, _m, ph in sample_video(buf)
+            ]
+            assert sampled_phashes(doc_id, brightness=b) == want, (doc_id, b)
 
 
 def _split_is_train(doc_id: int) -> bool:
