@@ -722,13 +722,35 @@ class CrawlEngine:
         n_detail = sum(
             row["count"] for row in kind_host if row["kind"] == "detail"
         )
-        infos = [store.write_delta(log, "fetch_log", r)]
+        # r07 (guide §2.6): the three delta writes are independent jobs
+        # over already-materialized caches (fetched / new_entries) and
+        # distinct output dirs — submit them concurrently so the small
+        # fetch_log/known writes ride the image job's ramp-up and tail
+        # instead of serializing after it. infos keeps the historical
+        # [fetch_log, bloom, known, images] commit order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs: list[tuple[str, object]] = [
+            ("fetch_log", lambda: store.write_delta(log, "fetch_log", r))
+        ]
+        if sum(new_per_host.values()) > 0:
+            jobs.append(("known", lambda: store.write_delta(new_entries, "known", r)))
+        if n_detail > 0 and cfg.image_stage_enabled:
+            jobs.append(
+                (
+                    "images",
+                    lambda: store.write_delta(images, "images", r, IMAGE_WRITE_OPTS),
+                )
+            )
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futs = {name: pool.submit(fn) for name, fn in jobs}
+        done_infos = {name: f.result() for name, f in futs.items()}
+        infos = [done_infos["fetch_log"]]
         if bloom_info is not None:
             infos.append(bloom_info)
-        if sum(new_per_host.values()) > 0:
-            infos.append(store.write_delta(new_entries, "known", r))
-        if n_detail > 0 and cfg.image_stage_enabled:
-            infos.append(store.write_delta(images, "images", r, IMAGE_WRITE_OPTS))
+        for name in ("known", "images"):
+            if name in done_infos:
+                infos.append(done_infos[name])
         mark("delta_writes")
 
         n_new = sum(new_per_host.values())

@@ -145,7 +145,15 @@ raw AS (
 
 
 def _raw_ads_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
+    # r07: the orders parquet has 1-2 row groups, so the whole ad
+    # synthesis + 6-stage expression chain ran ≤2-wide at any core
+    # count (guide §2.5 input skew). One keyless round-robin spread of
+    # the 3 source columns (~45 MB at sf1.0) buys full parallelism for
+    # every downstream per-row stage; the chain stays shuffle-free
+    # after it (round-robin, not hash — test_etl_chain still asserts
+    # no hashpartitioning and a single scan).
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    o = load(spark, sf_dir, "orders").repartition(shuffle)
     return build_raw_ads(
         o,
         F.col("o_orderkey"),

@@ -121,7 +121,14 @@ def _cos_sql(a: str, b: str) -> str:
 def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring ingredients: token count, char counts, alpha ratio,
     mean token length — all JVM-side string expressions."""
-    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # r07: single-row-group source — spread the per-row regex work
+    # (guide §2.5; same fix as d2)
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(shuffle, "doc_id")
+        .filter(F.length("text") > 0)
+    )
     toks = tokens(F.col("text"))
     return d.select(
         "doc_id",
@@ -347,8 +354,15 @@ def d2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle, then k=4 xor-mix permutations (min over xor(h, C_k)) —
     shingle → minhash entirely in higher-order array expressions
     (no UDF, no shuffle, one hash per gram instead of k)."""
+    # r07: the documents parquet is ONE row group (unsplittable), so
+    # the gram+md5 pipeline — the entire cost of this query — ran on a
+    # single task at any core count (guide §2.5 input skew). One
+    # round-robin spread of the raw text (~50 MB at sf1.0) buys full
+    # parallelism for the ~7M md5 evals; measured 28.5 → ~2 s.
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = (
         load(spark, sf_dir, "documents")
+        .repartition(shuffle, "doc_id")
         .withColumn("__norm", norm_text(F.col("text")))
         .withColumn("__gh", _gram_hashes(F.col("__norm")))
     )

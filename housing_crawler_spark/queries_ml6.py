@@ -185,6 +185,27 @@ def j10_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(shuffle, "doc_id")
         .withColumn("__norm", norm_text(F.col("text")))
     )
+    # 256-bit gram membership sketch, 4 longs per doc (r07): bit
+    # (h mod 256) set for every gram hash. popcount(ska & ~skb) is an
+    # exact LOWER bound on |A∖B| (each such bit is hit by ≥1 gram of A
+    # and by none of B), so na - that is an exact UPPER bound on the
+    # intersection — the cheap per-pair guard below.
+    def _sk(w: int) -> F.Column:
+        return F.aggregate(
+            F.col("gh"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc.bitwiseOR(
+                F.when(
+                    F.shiftright(h, 6).bitwiseAND(F.lit(3)) == w,
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        h.bitwiseAND(F.lit(63)).cast("int"),
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+        )
+
     base = (
         d.select(
             "doc_id",
@@ -199,6 +220,7 @@ def j10_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _j10_mh_col(F.col("gh"), k).alias(f"mh_{k}")
                 for k in range(_J10_N_MH)
             ],
+            *[_sk(w).alias(f"sk_{w}") for w in range(4)],
         )
         .cache()
     )
@@ -219,48 +241,75 @@ def j10_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return tr.join(F.broadcast(va), pred).select(*pair_cols)
 
     cand = band_pairs(0).unionByName(band_pairs(1)).distinct()
-    # r07 (guide §2.3/§3.1): the confirm used to attach both gram
-    # arrays via sort-merge joins, i.e. the ~8M candidate pairs were
-    # shuffled TWICE carrying ~2.4 KB of gh payload each (~40 GB of
-    # exchange at sf1.0 — the whole query cost). Broadcasting the
-    # doc-keyed gram table instead keeps the pair stream narrow and the
-    # confirm map-only. The gram table is docs × ~300 int64 grams
-    # (~130 MB at sf1.0) — within the driver/executor budget here; at
-    # corpus scale the same join pre-bucketed by doc_id (storage-layer
-    # bucketing) is the shuffle-free equivalent.
-    gt = F.broadcast(
-        base.select(F.col("doc_id").alias("train_doc"), F.col("gh").alias("gt"))
-    )
-    gv = F.broadcast(
-        base.select(F.col("doc_id").alias("val_doc"), F.col("gh").alias("gv"))
-    )
-    inter = F.size(F.array_intersect(F.col("gt"), F.col("gv")))
-    na, nb = F.size(F.col("gt")), F.size(F.col("gv"))
-    # Exact integer prefilters (r07): array_intersect costs ~24 µs per
-    # 143-element pair and the old select+filter shape evaluated it
-    # 2-3× per candidate. Both guards below are NECESSARY conditions
-    # for the authoritative float test j >= 0.8 (with one integer of
-    # slack, dwarfing any float-vs-rational ulp), so no pair that the
-    # oracle keeps is dropped:
-    #   1. i <= min(na,nb) and na+nb-i >= max  ⟹  j <= min/max,
-    #      so j >= 0.8 needs 5·min >= 4·max (costs two size() calls);
-    #   2. j = i/(na+nb-i) >= 0.8  ⟺  9i >= 4(na+nb) (exact rational),
-    #      checked with slack -1 (costs ONE intersect).
-    # Survivors (≈ the true dup pairs) then pay the float j and the
-    # unchanged final comparison.
-    jac = (
-        cand.join(gt, "train_doc")
-        .join(gv, "val_doc")
-        .filter(F.lit(5) * F.least(na, nb) >= F.lit(4) * F.greatest(na, nb) - 1)
-        .filter(F.lit(9) * inter >= F.lit(4) * (na + nb) - 1)
-        .select(
-            "val_doc",
-            "train_doc",
-            (
-                inter.cast("double")
-                / (F.size(F.col("gt")) + F.size(F.col("gv")) - inter)
-            ).alias("j"),
+    # r07 two-pass confirm (guide §2.3/§3.1). The round-6 shape
+    # attached both ~2.4 KB gram arrays to every one of the ~8M
+    # candidate pairs via sort-merge joins (~40 GB of exchange at
+    # sf1.0 — the whole query cost). Instead:
+    #   pass 1 — exact integer GUARDS on a tiny broadcast (doc_id,
+    #   size, 256-bit gram sketch ≈ 3 MB): (a) 5·min(na,nb) >=
+    #   4·max(na,nb) − 1 (j <= min/max), (b) 9·i_ub >= 4(na+nb) − 1
+    #   where i_ub = min(na − popcount(ska&~skb), nb − popcount(
+    #   skb&~ska)) is an exact upper bound on the intersection (every
+    #   A-only sketch bit is hit by ≥1 gram of A and none of B). Both
+    #   are necessary conditions for the float test j >= 0.8 with one
+    #   integer of slack (dwarfing any float-vs-rational ulp), so no
+    #   oracle-kept pair is dropped. ~30 codegen bit-ops per pair vs
+    #   the ~24 µs hash-set array_intersect.
+    #   pass 2 — only the guard survivors (≈ the true dup pairs, a few
+    #   thousand) have their gram arrays attached, via two joins whose
+    #   BUILD side is the tiny survivor set — the 130 MB gram-table
+    #   broadcasts of the first r07 cut are gone too (they measurably
+    #   poisoned the rest of the bench session with heap churn).
+    sk = F.broadcast(
+        base.select(
+            "doc_id",
+            F.size("gh").alias("n"),
+            *[F.col(f"sk_{w}") for w in range(4)],
         )
+    )
+    skt = sk.select(
+        F.col("doc_id").alias("train_doc"),
+        F.col("n").alias("na"),
+        *[F.col(f"sk_{w}").alias(f"ta_{w}") for w in range(4)],
+    )
+    skv = sk.select(
+        F.col("doc_id").alias("val_doc"),
+        F.col("n").alias("nb"),
+        *[F.col(f"sk_{w}").alias(f"vb_{w}") for w in range(4)],
+    )
+    na, nb = F.col("na"), F.col("nb")
+    d_a = sum(
+        F.bit_count(F.col(f"ta_{w}").bitwiseAND(F.bitwise_not(F.col(f"vb_{w}"))))
+        for w in range(4)
+    )
+    d_b = sum(
+        F.bit_count(F.col(f"vb_{w}").bitwiseAND(F.bitwise_not(F.col(f"ta_{w}"))))
+        for w in range(4)
+    )
+    i_ub = F.least(na - d_a, nb - d_b)
+    survivors = (
+        cand.join(skt, "train_doc")
+        .join(skv, "val_doc")
+        .filter(F.lit(5) * F.least(na, nb) >= F.lit(4) * F.greatest(na, nb) - 1)
+        .filter(F.lit(9) * i_ub >= F.lit(4) * (na + nb) - 1)
+        .select("train_doc", "val_doc")
+    )
+    # pass 2: grams for survivors only — build sides are the survivor
+    # set and then the (survivor × train-gram) rows, both tiny
+    wt = base.select(F.col("doc_id").alias("train_doc"), F.col("gh").alias("gt")).join(
+        F.broadcast(survivors), "train_doc"
+    )
+    paired = base.select(
+        F.col("doc_id").alias("val_doc"), F.col("gh").alias("gv")
+    ).join(F.broadcast(wt), "val_doc")
+    inter = F.size(F.array_intersect(F.col("gt"), F.col("gv")))
+    jac = paired.select(
+        "val_doc",
+        "train_doc",
+        (
+            inter.cast("double")
+            / (F.size(F.col("gt")) + F.size(F.col("gv")) - inter)
+        ).alias("j"),
     )
     return (
         jac.filter(F.col("j") >= _J10_JMIN)
@@ -704,6 +753,15 @@ def m13_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = F.broadcast(
         carr.select(F.col("clip_id").alias("clip_b"), F.col("phs").alias("pb"))
     )
+    # first-frame phash as a SCALAR (frame_idx 0 exists for every clip):
+    # the short-circuit guard then needs only pb + one long per hot-loop
+    # row — the full pa array is attached after the guard, for the few
+    # surviving rows only (allocation trim on the ~30M-row stream)
+    fa1 = F.broadcast(
+        f.filter(F.col("frame_idx") == 0).select(
+            F.col("clip_id").alias("clip_a"), F.col("phash63").alias("pa1")
+        )
+    )
 
     def min_ham(pa_elem):
         return F.array_min(
@@ -712,32 +770,57 @@ def m13_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    guard = min_ham(F.element_at(F.col("pa"), 1)) <= _M13_MAXHAM
+    guard = min_ham(F.col("pa1")) <= _M13_MAXHAM
     worst = F.array_max(F.transform(F.col("pa"), lambda pa: min_ham(pa)))
 
     mask = (1 << _M13_BITS) - 1
-    confirmed = None
-    for k in range(_M13_BANDS):
-        band = lambda c: F.shiftrightunsigned(c, k * _M13_BITS).bitwiseAND(
-            F.lit(mask)
+    # ONE (band, value)-keyed table instead of 4 per-band joins:
+    # dedupe (clip, k, bv) BEFORE the join — consecutive frames of a
+    # clip usually share a band value, so frame-level pairing counted
+    # each clip pair |frames_a|×|frames_b| times per band; the distinct
+    # pair set is identical but the raw fan-out shrinks several-fold
+    # (the candidate enumeration was ~130M raw rows at sf1.0). The
+    # re-spread after the dedup exists because AQE coalesces the small
+    # distinct output to 1-2 partitions while the join below fans each
+    # row out ×bucket-size (the s6 lesson, guide §2.5).
+    band_k = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.shiftrightunsigned(F.col("phash63"), k * _M13_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bv"),
+                )
+                for k in range(_M13_BANDS)
+            ]
         )
-        a = f.select(F.col("clip_id").alias("clip_a"), band(F.col("phash63")).alias("bv"))
-        b = f.select(F.col("clip_id").alias("clip_b"), band(F.col("phash63")).alias("bv"))
-        part = (
-            a.join(F.broadcast(b), (a["bv"] == b["bv"]) & (a["clip_a"] < b["clip_b"]))
-            .select("clip_a", "clip_b")
-            .join(ca, "clip_a")
-            .join(cb, "clip_b")
-            .filter(guard)
-            .select(
-                "clip_a",
-                "clip_b",
-                F.size("pa").cast("long").alias("n_frames_a"),
-                worst.cast("long").alias("worst_frame_ham"),
-            )
-            .filter(F.col("worst_frame_ham") <= _M13_MAXHAM)
+    )
+    bands = f.select("clip_id", band_k.alias("b")).select(
+        "clip_id", F.col("b.k").alias("k"), F.col("b.bv").alias("bv")
+    ).distinct()
+    a = bands.select(
+        F.col("clip_id").alias("clip_a"), "k", "bv"
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    b = bands.select(F.col("clip_id").alias("clip_b"), "k", "bv")
+    confirmed = (
+        a.join(
+            F.broadcast(b),
+            (a["k"] == b["k"]) & (a["bv"] == b["bv"]) & (a["clip_a"] < b["clip_b"]),
         )
-        confirmed = part if confirmed is None else confirmed.unionByName(part)
+        .select("clip_a", "clip_b")
+        .join(fa1, "clip_a")
+        .join(cb, "clip_b")
+        .filter(guard)
+        .join(ca, "clip_a")
+        .select(
+            "clip_a",
+            "clip_b",
+            F.size("pa").cast("long").alias("n_frames_a"),
+            worst.cast("long").alias("worst_frame_ham"),
+        )
+        .filter(F.col("worst_frame_ham") <= _M13_MAXHAM)
+    )
     return confirmed.distinct()
 
 

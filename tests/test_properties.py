@@ -9,7 +9,61 @@ from hypothesis import strategies as st
 
 from housing_crawler_spark import synth
 from housing_crawler_spark.functions.hashing import xxhash64
-from housing_crawler_spark.operators.images import decode, encode, phash64, psnr
+from housing_crawler_spark.operators.images import (
+    _D32,
+    decode,
+    encode,
+    phash64,
+    psnr,
+    resize_area,
+)
+
+
+def _resize_area_integral(img, out_h, out_w):
+    """Pre-r07 reference: full-image float64 integral (cumsum) block
+    means — the fast reduceat path must stay bit-identical to this."""
+    h, w = img.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    ii = np.cumsum(np.cumsum(img.astype(np.float64), 0), 1)
+    ii = np.pad(ii, ((1, 0), (1, 0)))
+    sums = (
+        ii[ys[1:], :][:, xs[1:]]
+        - ii[ys[:-1], :][:, xs[1:]]
+        - ii[ys[1:], :][:, xs[:-1]]
+        + ii[ys[:-1], :][:, xs[:-1]]
+    )
+    areas = np.outer(ys[1:] - ys[:-1], xs[1:] - xs[:-1]).astype(np.float64)
+    areas[areas == 0] = 1.0
+    return sums / areas
+
+
+def _phash64_reference(img):
+    """Pre-r07 reference phash: integral-image resize + shift-fold bit
+    packing. The packbits fast path must reproduce it exactly."""
+    small = _resize_area_integral(img, 32, 32)
+    coeffs = _D32 @ small @ _D32.T
+    vals = coeffs[:8, :8].flatten()[1:]
+    med = np.median(vals)
+    bits = np.zeros(64, dtype=np.uint64)
+    bits[1:] = (vals > med).astype(np.uint64)
+    word = np.uint64(0)
+    for b in bits:
+        word = (word << np.uint64(1)) | b
+    return int(word.astype(np.int64))
+
+
+@given(st.integers(0, 2**60), st.integers(8, 200), st.integers(8, 200))
+@settings(max_examples=80, deadline=None)
+def test_images_phash_fast_path(pseed, hgt, wid):
+    """r07 fast paths (reduceat block sums, packbits word) must be
+    bit-identical to the original integral-image/shift-fold versions —
+    including sub-32px inputs where zero-area blocks yield 0-rows."""
+    img = synth.gen_image(pseed, 0, lo=min(hgt, wid), hi=max(hgt, wid))
+    assert np.array_equal(
+        resize_area(img, 32, 32), _resize_area_integral(img, 32, 32)
+    )
+    assert phash64(img) == _phash64_reference(img)
 
 
 @given(st.integers(0, 2**60), st.integers(0, 2))
