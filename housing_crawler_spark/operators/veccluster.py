@@ -37,6 +37,57 @@ def _nrm(col: F.Column) -> F.Column:
     return F.sqrt(dot(col, col))
 
 
+_EMB_DIM_CACHE: dict[str, int] = {}
+
+
+def emb_dim(sf_dir: str) -> int:
+    """Embedding dimensionality for this sf_dir from one parquet batch
+    (plan-time metadata peek, not a Spark job; memoized per dir)."""
+    if sf_dir not in _EMB_DIM_CACHE:
+        import pyarrow.parquet as pq
+
+        batch = next(
+            pq.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
+                batch_size=1, columns=["embedding"]
+            )
+        )
+        _EMB_DIM_CACHE[sf_dir] = len(batch["embedding"][0])
+    return _EMB_DIM_CACHE[sf_dir]
+
+
+def _mean_arr(vec_col: str, dim: int) -> list[F.Column]:
+    return [
+        F.round(F.avg(F.element_at(vec_col, i)) + F.lit(1e-9), 4).alias(f"__m_{i}")
+        for i in range(1, dim + 1)
+    ]
+
+
+def fast_recenter(assigned: DataFrame, dim: int) -> DataFrame:
+    """Centroid update equivalent to queries_ml2._df_recenter — per-cid
+    per-position rounded means — but via ``dim`` per-position avg
+    aggregates instead of posexplode → (cid, pos) aggregate →
+    collect_list re-assembly: one shuffle of K·dim partial sums instead
+    of two shuffles of n·dim exploded rows (guide §2.3). Same Average
+    aggregate over the same value multiset; partial-sum order is
+    nondeterministic in BOTH shapes and absorbed by the same
+    round(+1e-9, 4), exactly the tolerance the SQL twin relies on."""
+    means = assigned.groupBy("cid").agg(*_mean_arr("e", dim))
+    return means.select(
+        "cid", F.array(*[F.col(f"__m_{i}") for i in range(1, dim + 1)]).alias("c")
+    )
+
+
+def pq_fast_recenter(assigned: DataFrame, d: int) -> DataFrame:
+    """Same rewrite for the PQ codebook update (per (j, cid) subspace
+    groups of d-dim slices); twin of queries_ml3._pq_recenter."""
+    means = assigned.groupBy("j", "cid").agg(*_mean_arr("sv", d))
+    return means.select(
+        "j",
+        "cid",
+        F.array(*[F.col(f"__m_{i}") for i in range(1, d + 1)]).alias("cv"),
+    )
+
+
 def fast_assign(base: DataFrame, cents: DataFrame, nprobe: int = 1) -> DataFrame:
     """argmax-cosine cell assignment vs the broadcast K-row centroid dim;
     result-identical to queries_ml2._df_assign (same rounding, same

@@ -1126,7 +1126,7 @@ def s6_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations, first-K seeds — the oracle's pinned deterministic
     setting), corpus encoded to 8 codes/vector, planted perturbed-twin
     probes scored via integer-scaled lookup tables, top-3 per probe."""
-    from .operators.veccluster import adc_sum, codes_as_array, flat_lut, pq_fast_assign
+    from .operators.veccluster import adc_sum, codes_as_array, flat_lut, pq_fast_assign, pq_fast_recenter
 
     # spread the training/encode work off the 1-6 parquet input splits
     # (guide §2.5: input skew — every per-row stage below would
@@ -1152,7 +1152,7 @@ def s6_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), "j", F.col("sv").alias("cv")
     )
     for _ in range(2):
-        cents = _pq_recenter(pq_fast_assign(sub, cents, _pq_l2))
+        cents = pq_fast_recenter(pq_fast_assign(sub, cents, _pq_l2), _PQ_D)
     # cents feeds BOTH the encode and the lookup table — cache, or the
     # whole training tree re-runs per branch (fan-out trap)
     cents = cents.cache()

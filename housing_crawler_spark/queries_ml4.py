@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 from .operators.exactsubstr import exact_substr_cut
 from .queries import load, query, r4
 from .queries_ml import _DUPED_SQL, _duped, _md5int_sql, _TOKENS_SQL
-from .queries_ml2 import _df_recenter, _sql_assign, _sql_recenter
+from .queries_ml2 import _sql_assign, _sql_recenter
 from .queries_ml3 import (
     _PQ_D,
     _PQ_EVERY,
@@ -43,7 +43,6 @@ from .queries_ml3 import (
     _l2_sql,
     _pq_assign_sql,
     _pq_l2,
-    _pq_recenter,
     _pq_recenter_sql,
     _pq_sub,
 )
@@ -272,9 +271,12 @@ def ivfpq_parts(spark: SparkSession, sf_dir: str):
     from .operators.veccluster import (
         adc_sum,
         codes_as_array,
+        emb_dim,
         fast_assign,
+        fast_recenter,
         flat_lut,
         pq_fast_assign,
+        pq_fast_recenter,
     )
 
     # spread the training/encode work off the 1-6 parquet input splits
@@ -302,8 +304,9 @@ def ivfpq_parts(spark: SparkSession, sf_dir: str):
     cc = base.filter(F.col("vec_id") < _S7_K).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("c")
     )
+    dim = emb_dim(sf_dir)
     for _ in range(2):
-        cc = _df_recenter(fast_assign(base, cc))
+        cc = fast_recenter(fast_assign(base, cc), dim)
     cc = cc.cache()  # feeds cells AND pcells
     cells = fast_assign(base, cc).select("vec_id", "cid").cache()
     pcells = (
@@ -321,7 +324,7 @@ def ivfpq_parts(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("cid"), "j", F.col("sv").alias("cv")
     )
     for _ in range(2):
-        q = _pq_recenter(pq_fast_assign(sub, q, _pq_l2))
+        q = pq_fast_recenter(pq_fast_assign(sub, q, _pq_l2), _PQ_D)
     q = q.cache()  # feeds codes AND the LUT
     codes = pq_fast_assign(sub, q, _pq_l2).select(
         "vec_id", "j", F.col("cid").alias("code")

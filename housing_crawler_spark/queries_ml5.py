@@ -44,10 +44,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .operators.veccluster import fast_assign
+from .operators.veccluster import emb_dim, fast_assign, fast_recenter
 from .queries import query, r4
 from .queries_ml import _cos_sql, _md5int_sql, cosine, dot, md5int
-from .queries_ml2 import _df_recenter, _EMB_SQL, _emb, _sql_assign, _sql_recenter
+from .queries_ml2 import _EMB_SQL, _emb, _sql_assign, _sql_recenter
 
 # ---------------------------------------------------------------------------
 # s8 — SemDeDup
@@ -120,8 +120,9 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = base.filter(F.col("vec_id") < _S8_K).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("c")
     )
+    dim = emb_dim(sf_dir)
     for _ in range(2):
-        cc = _df_recenter(fast_assign(base, cc))
+        cc = fast_recenter(fast_assign(base, cc), dim)
     cc = cc.cache()  # feeds the final assignment AND the csim join
     cells = fast_assign(base, cc)
     # csim feeds the pair self-join twice plus the output — cache it.
